@@ -1,0 +1,207 @@
+"""Static halo-tile engine: the TPU replacement for the reference's
+memory-aware ``prepare``/``doCrop`` loop (``imageProcess.py:19-172``).
+
+Design
+------
+The reference re-plans tile sizes from live free-VRAM every 28 calls and
+stitches tiles sequentially with an in-place sigmoid blend.  On TPU,
+dynamic shapes force recompiles and serial stitching wastes the MXU, so
+this engine instead:
+
+  1. picks a **static tile size** per model (aligned to the model's
+     stride requirements and to MXU-friendly multiples),
+  2. reflect-pads the image so tiles on a fixed stride cover it exactly
+     (static Python-side plan -> static slices inside ``jit``),
+  3. stacks all tiles into a **batch** and runs the model over fixed-size
+     chunks (one compile per chunk shape, big MXU batches),
+  4. blends with a precomputed separable **sigmoid window** via
+     overlap-add + weight normalization — numerically equivalent in
+     quality to the reference's pairwise blend (``imageProcess.py:109,
+     120-131``) but order-independent and fully parallel.
+
+Everything from padding to the final crop runs inside a single jitted
+function per (image bucket, tile spec), so XLA fuses the pad, slicing,
+model, and blend.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ceilTo = lambda x, d: -(-int(x) // d) * d
+
+
+@dataclass(frozen=True)
+class TileSpec:
+    """Static tiling parameters for one model.
+
+    tile:   tile side length fed to the model (includes halos).
+    pad:    halo width; adjacent tiles overlap by ``2 * pad`` pixels.
+    align:  model stride alignment (tile and padded image are multiples).
+    scale:  spatial scale factor of the model output.
+    batch:  tiles evaluated per jitted model call.
+    """
+
+    tile: int = 256
+    pad: int = 8
+    align: int = 8
+    scale: float = 1.0
+    batch: int = 8
+
+    def __post_init__(self):
+        assert self.tile % self.align == 0, (self.tile, self.align)
+        assert self.tile > 2 * self.pad
+
+
+def planAxis(size: int, tile: int, pad: int) -> List[int]:
+    """Static anchor positions along one axis.
+
+    Tiles of length ``tile`` on stride ``tile - 2*pad`` starting at 0;
+    the image is padded up to the grid extent, so anchors are uniform.
+    """
+    stride = tile - 2 * pad
+    if size <= tile:
+        return [0]
+    n = math.ceil((size - 2 * pad) / stride)
+    return [i * stride for i in range(n)]
+
+
+def paddedExtent(size: int, tile: int, pad: int, align: int) -> int:
+    anchors = planAxis(size, tile, pad)
+    return max(anchors[-1] + tile, ceilTo(size, align))
+
+
+def _ramp(pad: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Sigmoid edge ramp over ``pad`` pixels (reference ``imageProcess.py:109``)."""
+    if pad == 0:
+        return jnp.ones((0,), dtype)
+    t = (jnp.arange(pad, dtype=jnp.float32) / pad - 0.5) * 9.0
+    return jax.nn.sigmoid(t).astype(dtype)
+
+
+def blendWindow(th: int, tw: int, padSc: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Separable 2D overlap-add window: sigmoid ramps on every edge.
+
+    Interior weights are 1; boundary normalization is handled by the
+    weight-sum canvas in :func:`tiledApply`, so edge tiles need no
+    special casing (unlike the reference's positional clip logic,
+    ``imageProcess.py:111-117``).
+    """
+    r = _ramp(padSc, dtype)
+    wy = jnp.ones((th,), dtype).at[:padSc].set(r).at[th - padSc:].set(r[::-1])
+    wx = jnp.ones((tw,), dtype).at[:padSc].set(r).at[tw - padSc:].set(r[::-1])
+    return wy[:, None] * wx[None, :]
+
+
+def reflectPadHW(x: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
+    """Reflect-pad bottom/right of an (H, W, C) image, tiling reflections
+    when the pad exceeds the image extent (reference ``getPad`` :48-56)."""
+    h, w = x.shape[0], x.shape[1]
+    while ph > 0 or pw > 0:
+        dh = min(ph, x.shape[0] - 1)
+        dw = min(pw, x.shape[1] - 1)
+        x = jnp.pad(x, ((0, dh), (0, dw), (0, 0)), mode="reflect")
+        ph -= dh
+        pw -= dw
+        if dh == 0 and dw == 0:  # degenerate 1-pixel axis
+            x = jnp.pad(x, ((0, ph), (0, pw), (0, 0)), mode="edge")
+            break
+    return x
+
+
+def _chunked(fn: Callable, tiles: jnp.ndarray, batch: int) -> jnp.ndarray:
+    """Apply ``fn`` over the tile batch in fixed-size chunks.
+
+    The final partial chunk is padded to ``batch`` so every call shares
+    one compiled executable.  Runs under the caller's jit, so the loop
+    unrolls into a static schedule.
+    """
+    n = tiles.shape[0]
+    outs = []
+    for start in range(0, n, batch):
+        chunk = tiles[start : start + batch]
+        if chunk.shape[0] < batch:
+            fill = jnp.repeat(chunk[-1:], batch - chunk.shape[0], axis=0)
+            chunk = jnp.concatenate([chunk, fill], axis=0)
+        outs.append(fn(chunk))
+    out = jnp.concatenate(outs, axis=0)
+    return out[:n]
+
+
+def _tiledApplyImpl(
+    x: jnp.ndarray,
+    fn: Callable,
+    spec: TileSpec,
+    outC: int,
+) -> jnp.ndarray:
+    h, w, c = x.shape
+    tile, pad, align, sc = spec.tile, spec.pad, spec.align, spec.scale
+    ph = paddedExtent(h, tile, pad, align)
+    pw = paddedExtent(w, tile, pad, align)
+    xp = reflectPadHW(x, ph - h, pw - w)
+
+    ys = planAxis(ph, tile, pad)
+    xs = planAxis(pw, tile, pad)
+    th = min(tile, ph)
+    tw = min(tile, pw)
+
+    tiles = jnp.stack(
+        [xp[y : y + th, xcoord : xcoord + tw, :] for y in ys for xcoord in xs],
+        axis=0,
+    )  # (n, th, tw, c)
+
+    out_tiles = _chunked(fn, tiles, spec.batch)  # (n, th*sc, tw*sc, outC)
+    oth, otw = int(round(th * sc)), int(round(tw * sc))
+    assert out_tiles.shape[1:3] == (oth, otw), (out_tiles.shape, oth, otw)
+
+    padSc = int(round(pad * sc))
+    win = blendWindow(oth, otw, padSc, out_tiles.dtype)[None, :, :, None]
+    weighted = out_tiles * win
+
+    oH, oW = int(round(ph * sc)), int(round(pw * sc))
+    canvas = jnp.zeros((oH, oW, outC), out_tiles.dtype)
+    weight = jnp.zeros((oH, oW, 1), out_tiles.dtype)
+    idx = 0
+    for y in ys:
+        for xcoord in xs:
+            oy, ox = int(round(y * sc)), int(round(xcoord * sc))
+            canvas = jax.lax.dynamic_update_slice(
+                canvas,
+                jax.lax.dynamic_slice(
+                    canvas, (oy, ox, 0), (oth, otw, outC)
+                )
+                + weighted[idx],
+                (oy, ox, 0),
+            )
+            weight = jax.lax.dynamic_update_slice(
+                weight,
+                jax.lax.dynamic_slice(weight, (oy, ox, 0), (oth, otw, 1))
+                + win[0],
+                (oy, ox, 0),
+            )
+            idx += 1
+    out = canvas / jnp.maximum(weight, 1e-8)
+    return out[: int(round(h * sc)), : int(round(w * sc)), :]
+
+
+def tiledApply(
+    x: jnp.ndarray,
+    fn: Callable,
+    spec: TileSpec,
+    outC: int | None = None,
+) -> jnp.ndarray:
+    """Tiled application of a batched model ``fn`` to an (H, W, C) image.
+
+    ``fn``: (B, th, tw, C) -> (B, th*scale, tw*scale, outC); must accept
+    the static tile shape implied by ``spec``.
+    """
+    if outC is None:
+        outC = x.shape[-1]
+    return _tiledApplyImpl(x, fn, spec, outC)

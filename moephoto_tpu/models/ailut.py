@@ -1,0 +1,110 @@
+"""AiLUT adaptive-interval 3D LUT retouching (reference
+``python/AiLUT.py``; AdaInt, CVPR 2022).
+
+Backbone (TPAMI 5-conv or ResNet-18) runs on a fixed 256/224 px resize,
+produces the LUT-generator weights and the adaptive vertices; the LUT is
+applied to the full-resolution image by :func:`ops.lut.ailutTransform`
+(the reference's CUDA extension, rebuilt as XLA/Pallas).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from moephoto_tpu.models.api import (
+    Params,
+    conv2d,
+    leakyRelu,
+    linear,
+    maxPool2d,
+    relu,
+    resizeBilinear,
+)
+from moephoto_tpu.ops.lut import ailutTransform
+
+
+def instanceNorm2d(params: Params, key: str, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    f = x.astype(jnp.float32)
+    mean = jnp.mean(f, axis=(1, 2), keepdims=True)
+    var = jnp.var(f, axis=(1, 2), keepdims=True)
+    y = (f - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params[key + ".weight"].astype(jnp.float32) + params[key + ".bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def adaptiveAvgPool2d(x: jnp.ndarray, out: int) -> jnp.ndarray:
+    """AdaptiveAvgPool2d for divisible sizes (backbone is 8x8 -> 2x2)."""
+    b, h, w, c = x.shape
+    kh, kw = h // out, w // out
+    x = x.reshape(b, out, kh, out, kw, c)
+    return jnp.mean(x.astype(jnp.float32), axis=(2, 4)).astype(x.dtype)
+
+
+def _tpamiBackbone(params: Params, x: jnp.ndarray, extraPooling: bool) -> jnp.ndarray:
+    """5 stride-2 Conv+LeakyReLU(0.2)[+InstanceNorm] blocks (AiLUT.py:28-48)."""
+    for i in range(5):
+        p = f"backbone.{i}"
+        x = leakyRelu(conv2d(params, p + ".0", x, stride=2, padding=1), 0.2)
+        if i < 4:
+            x = instanceNorm2d(params, p + ".2", x)
+    if extraPooling:
+        x = adaptiveAvgPool2d(x, 2)
+    return x
+
+
+def _res18Backbone(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """ResNet-18 trunk (AiLUT.py:50-56); BN folded at eval time uses the
+    running stats from the checkpoint."""
+
+    def bn(key, v):
+        f = v.astype(jnp.float32)
+        mean = params[key + ".running_mean"].astype(jnp.float32)
+        var = params[key + ".running_var"].astype(jnp.float32)
+        w = params[key + ".weight"].astype(jnp.float32)
+        b = params[key + ".bias"].astype(jnp.float32)
+        return ((f - mean) * jax.lax.rsqrt(var + 1e-5) * w + b).astype(v.dtype)
+
+    def block(p, v, stride):
+        idn = v
+        y = relu(bn(p + ".bn1", conv2d(params, p + ".conv1", v, stride=stride, padding=1)))
+        y = bn(p + ".bn2", conv2d(params, p + ".conv2", y, padding=1))
+        if (p + ".downsample.0.weight") in params:
+            idn = bn(p + ".downsample.1", conv2d(params, p + ".downsample.0", v, stride=stride))
+        return relu(y + idn)
+
+    x = relu(bn("backbone.bn1", conv2d(params, "backbone.conv1", x, stride=2, padding=3)))
+    x = maxPool2d(x, 3, 2, 1)
+    for li, stride in zip(range(1, 5), (1, 2, 2, 2)):
+        x = block(f"backbone.layer{li}.0", x, stride)
+        x = block(f"backbone.layer{li}.1", x, 1)
+    return jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(x.dtype)
+
+
+def makeAiLUT(nRanks: int = 3, nVertices: int = 33, backbone: str = "tpami"):
+    inputSize = (256, 256) if backbone == "tpami" else (224, 224)
+
+    def apply(params: Params, imgs: jnp.ndarray) -> jnp.ndarray:
+        b = imgs.shape[0]
+        codes = resizeBilinear(imgs, inputSize[0], inputSize[1])
+        if backbone == "tpami":
+            feat = _tpamiBackbone(params, codes, extraPooling=True)
+        else:
+            feat = _res18Backbone(params, codes)
+        feat = feat.astype(jnp.float32)
+        # torch flattens NCHW as (C, H, W); permute before flattening
+        codesVec = jnp.transpose(feat, (0, 3, 1, 2)).reshape(b, -1)
+        weights = linear(params, "lut_generator.weights_generator", codesVec)
+        luts = linear(params, "lut_generator.basis_luts_bank", weights)
+        luts = luts.reshape(b, -1, nVertices, nVertices, nVertices)
+        intervals = linear(params, "adaint.intervals_generator", codesVec)
+        intervals = intervals.reshape(b, -1, nVertices - 1)
+        intervals = jax.nn.softmax(intervals, axis=-1)
+        vertices = jnp.pad(jnp.cumsum(intervals, axis=-1), ((0, 0), (0, 0), (1, 0)))
+        return ailutTransform(imgs, luts, vertices)
+
+    return apply
+
+
+ailutTPAMI = makeAiLUT(3, 33, "tpami")
+ailutRes18 = makeAiLUT(5, 33, "res18")

@@ -1,0 +1,122 @@
+"""Y-channel SR / denoise families: MyNet (Net2x/3x/4x), NetDN, SEDN,
+MoeNet_lite2.
+
+Reference definitions: ``python/models.py:108-223`` and
+``python/MoeNet_lite2.py``.  All operate on single-channel planes
+(B, H, W, 1); the executor folds RGB channels into the batch.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from moephoto_tpu.models.api import (
+    Params,
+    conv2d,
+    globalAvgPool,
+    leakyRelu,
+    pixelShuffle,
+    prelu,
+    relu,
+    sigmoid,
+)
+from moephoto_tpu.models.blocks import arsb, frm, upsampleBlock, upsampleBlockV1
+
+
+def _mynetTrunk(params: Params, x: jnp.ndarray, nBlocks: int = 6):
+    """Shared MyNet stem: conv_input -> PReLU; conv_input2; ARSB chain."""
+    out = prelu(params, "relu", conv2d(params, "conv_input", x, padding=1))
+    conv1 = conv2d(params, "conv_input2", out, padding=1)
+    f = conv1
+    for i in range(nBlocks):
+        f = arsb(params, f"convt_F{i + 1}", f)
+    return out, f
+
+
+def _upPath(params: Params, prefix: str, x: jnp.ndarray, nUps: int, r: int) -> jnp.ndarray:
+    """Sequential of ``nUps`` upsample blocks then a 3x3 conv to 1 channel
+    (the ``u``/``convt_R1`` paths of Net2x/3x/4x, models.py:125-154)."""
+    for i in range(nUps):
+        x = upsampleBlock(params, f"{prefix}.{i}", x, r)
+    return conv2d(params, f"{prefix}.{nUps}", x, padding=1)
+
+
+def makeMyNetSR(scale: int):
+    nUps, r = {2: (1, 2), 3: (1, 3), 4: (2, 2)}[scale]
+
+    def apply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        out, f = _mynetTrunk(params, x)
+        u = _upPath(params, "u", out, nUps, r)
+        res = _upPath(params, "convt_R1", f, nUps, r)
+        return u + res
+
+    return apply
+
+
+net2x = makeMyNetSR(2)
+net3x = makeMyNetSR(3)
+net4x = makeMyNetSR(4)
+
+
+def netDN(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Light denoise: 48-ch MyNet with plain conv heads (models.py:158-164)."""
+    out, f = _mynetTrunk(params, x)
+    u = conv2d(params, "u", out, padding=1)
+    res = conv2d(params, "convt_R1", f, padding=1)
+    return u + res
+
+
+def _sednBlock(params: Params, p: str, x: jnp.ndarray) -> jnp.ndarray:
+    """SE residual conv block (reference ``_Conv_Block`` models.py:166-206)."""
+    out = conv2d(params, p + ".rblock.0", x, padding=1)
+    out = leakyRelu(out)
+    out = conv2d(params, p + ".rblock.2", out, padding=1)
+    out = leakyRelu(out)
+    out = conv2d(params, p + ".rblock.4", out, padding=1)
+    se = globalAvgPool(out)
+    se = conv2d(params, p + ".conv_down", se)
+    se = leakyRelu(se)
+    se = conv2d(params, p + ".conv_up", se)
+    out = out * sigmoid(se)
+    out = conv2d(params, p + ".trans.0", out)
+    out = leakyRelu(out)
+    return x + out
+
+
+def sedn(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Strong denoise: 16 SE residual blocks (models.py:210-223)."""
+    out = leakyRelu(conv2d(params, "conv_input", x, padding=1))
+    f = out
+    for i in range(16):
+        f = _sednBlock(params, f"convt_F1.{i}", f)
+    return x + conv2d(params, "convt_R1", f, padding=1)
+
+
+def _lb(params: Params, p: str, x: jnp.ndarray) -> jnp.ndarray:
+    """MoeNet_lite2 LB block (MoeNet_lite2.py:8-20)."""
+    out = prelu(params, p + ".relu", conv2d(params, p + ".conv_1", x, padding=1))
+    out = conv2d(params, p + ".conv_2", out, padding=1)
+    return frm(params, p + ".se", out) + x
+
+
+def makeMoeNetLite2(upscale: int = 2):
+    nUps = int(upscale).bit_length() - 1
+
+    def apply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        out = prelu(params, "relu", conv2d(params, "conv_input", x))
+        conv1 = conv2d(params, "conv_input2", out)
+        f = _lb(params, "convt_F11", conv1)
+        f = _lb(params, "convt_F12", f)
+        f = _lb(params, "convt_F13", f)
+        res, im = f, out
+        for i in range(nUps):
+            res = upsampleBlockV1(params, f"ures.{i}", res)
+            im = upsampleBlockV1(params, f"uim.{i}", im)
+        return conv2d(params, "convt_R1", res) + conv2d(params, "convt_I1", im)
+
+    return apply
+
+
+moeNetLite2x2 = makeMoeNetLite2(2)
+moeNetLite2x4 = makeMoeNetLite2(4)
+moeNetLite2x8 = makeMoeNetLite2(8)
