@@ -43,6 +43,7 @@ defaultConfig: Dict[str, tuple] = {
     "tileBatch": (0, "0 = per-model default tiles per jitted batch"),
     "meshShape": ([], "e.g. [2, 4] for a dp x sp mesh; [] = single device"),
     "ffmpegPath": ("ffmpeg", "external ffmpeg binary for video decode/encode"),
+    "modelDir": ("./model", "root directory of converted / torch checkpoints"),
 }
 
 configPath = ".user/config.json"

@@ -130,19 +130,52 @@ class ModelExec:
             self._jitCache[key] = jax.jit(self._process)
         return self._jitCache[key](self.params, x)
 
+    def _processWhole(self, params, x):
+        """Un-tiled path (e.g. AiLUT, whose backbone codes must come from
+        the whole image): pad to alignment, run once, crop."""
+        from moephoto_tpu.engine.tiling import ceilTo, reflectPadHW
+
+        inp = x
+        if self.prepare is not None:
+            x = self.prepare(x)
+        x = x.astype(self.dtype)
+        h, w = x.shape[0], x.shape[1]
+        ph, pw = ceilTo(h, self.spec.align), ceilTo(w, self.spec.align)
+        xp = reflectPadHW(x, ph - h, pw - w)
+        y = self.apply(params, xp[None])[0]
+        sc = self.spec.scale
+        y = y[: int(round(h * sc)), : int(round(w * sc))].astype(jnp.float32)
+        if self.strength != 1.0 and y.shape == inp.shape:
+            y = self.strength * y + (1.0 - self.strength) * inp.astype(jnp.float32)
+        return y
+
+    def applyWhole(self, x) -> jnp.ndarray:
+        x = jnp.asarray(x)
+        key = ("whole", x.shape, str(x.dtype), self.strength)
+        if key not in self._jitCache:
+            self._jitCache[key] = jax.jit(self._processWhole)
+        return self._jitCache[key](self.params, x)
+
 
 def rgbFilter(exec_: ModelExec) -> Callable:
     """Step function with alpha passthrough (reference ``_RGBFilter``
-    ``imageProcess.py:370-377``): alpha is split off on the host, the
-    RGB body runs tiled on device, alpha re-attached (resized if the
-    model scales)."""
-    from moephoto_tpu.utils.imageio import extractAlpha, mergeAlpha
+    ``imageProcess.py:370-377``): a trailing alpha channel bypasses the
+    model and is re-attached (nearest-resized if the model scales).
+    Device-resident throughout."""
 
     def f(im):
-        t: dict = {}
-        rgb = extractAlpha(t)(im)
-        out = exec_(jnp.asarray(rgb))
-        out = np.asarray(out)
-        return mergeAlpha(t)(out)
+        im = jnp.asarray(im)
+        alpha = None
+        if im.shape[-1] == 4:
+            alpha = im[..., 3:]
+            im = im[..., :3]
+        out = exec_(im)
+        if alpha is not None:
+            if alpha.shape[:2] != out.shape[:2]:
+                from moephoto_tpu.models.api import resizeNearest
+
+                alpha = resizeNearest(alpha[None], out.shape[0], out.shape[1])[0]
+            out = jnp.concatenate([out, alpha.astype(out.dtype)], axis=-1)
+        return out
 
     return f

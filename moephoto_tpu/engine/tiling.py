@@ -78,25 +78,55 @@ def paddedExtent(size: int, tile: int, pad: int, align: int) -> int:
     return max(anchors[-1] + tile, ceilTo(size, align))
 
 
-def _ramp(pad: int, dtype=jnp.float32) -> jnp.ndarray:
-    """Sigmoid edge ramp over ``pad`` pixels (reference ``imageProcess.py:109``)."""
-    if pad == 0:
+def _ramp(n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Sigmoid ramp over ``n`` pixels (reference ``imageProcess.py:109``).
+
+    Symmetric: ramp + reversed ramp == 1 exactly, so two neighbouring
+    tiles' windows form a partition of unity across the overlap.
+    """
+    if n == 0:
         return jnp.ones((0,), dtype)
-    t = (jnp.arange(pad, dtype=jnp.float32) / pad - 0.5) * 9.0
+    # half-pixel centering makes the ramp exactly antisymmetric:
+    # ramp[i] + ramp[n-1-i] == 1
+    t = ((jnp.arange(n, dtype=jnp.float32) + 0.5) / n - 0.5) * 9.0
     return jax.nn.sigmoid(t).astype(dtype)
 
 
-def blendWindow(th: int, tw: int, padSc: int, dtype=jnp.float32) -> jnp.ndarray:
-    """Separable 2D overlap-add window: sigmoid ramps on every edge.
+def _axisWindow(
+    t: int, padSc: int, isFirst: bool, isLast: bool, dtype=jnp.float32
+) -> jnp.ndarray:
+    """1D blend weights for one tile along one axis.
 
-    Interior weights are 1; boundary normalization is handled by the
-    weight-sum canvas in :func:`tiledApply`, so edge tiles need no
-    special casing (unlike the reference's positional clip logic,
-    ``imageProcess.py:111-117``).
+    Interior edges discard the outermost ``padSc//2`` pixels entirely
+    (they saw the tile's own pad boundary — the reference's clip logic,
+    ``imageProcess.py:111-117``) and sigmoid-ramp across the central
+    ``2*(padSc - d)`` pixels of the 2*padSc overlap.  Image-boundary
+    edges keep weight 1 to the end.
     """
-    r = _ramp(padSc, dtype)
-    wy = jnp.ones((th,), dtype).at[:padSc].set(r).at[th - padSc:].set(r[::-1])
-    wx = jnp.ones((tw,), dtype).at[:padSc].set(r).at[tw - padSc:].set(r[::-1])
+    w = jnp.ones((t,), dtype)
+    if padSc == 0:
+        return w
+    d = padSc // 2
+    r = 2 * (padSc - d)
+    ramp = _ramp(r, dtype)
+    if not isFirst:
+        w = w.at[:d].set(0.0).at[d : d + r].set(ramp)
+    if not isLast:
+        w = w.at[t - d :].set(0.0).at[t - d - r : t - d].set(ramp[::-1])
+    return w
+
+
+def blendWindow(
+    th: int,
+    tw: int,
+    padSc: int,
+    dtype=jnp.float32,
+    edges=(False, False, False, False),
+) -> jnp.ndarray:
+    """2D separable blend window; ``edges`` = (firstY, lastY, firstX,
+    lastX) flags marking image-boundary sides."""
+    wy = _axisWindow(th, padSc, edges[0], edges[1], dtype)
+    wx = _axisWindow(tw, padSc, edges[2], edges[3], dtype)
     return wy[:, None] * wx[None, :]
 
 
@@ -162,28 +192,34 @@ def _tiledApplyImpl(
     assert out_tiles.shape[1:3] == (oth, otw), (out_tiles.shape, oth, otw)
 
     padSc = int(round(pad * sc))
-    win = blendWindow(oth, otw, padSc, out_tiles.dtype)[None, :, :, None]
-    weighted = out_tiles * win
-
     oH, oW = int(round(ph * sc)), int(round(pw * sc))
     canvas = jnp.zeros((oH, oW, outC), out_tiles.dtype)
     weight = jnp.zeros((oH, oW, 1), out_tiles.dtype)
     idx = 0
-    for y in ys:
-        for xcoord in xs:
+    for iy, y in enumerate(ys):
+        for ix, xcoord in enumerate(xs):
+            win = blendWindow(
+                oth,
+                otw,
+                padSc,
+                out_tiles.dtype,
+                edges=(
+                    iy == 0,
+                    iy == len(ys) - 1,
+                    ix == 0,
+                    ix == len(xs) - 1,
+                ),
+            )[:, :, None]
             oy, ox = int(round(y * sc)), int(round(xcoord * sc))
             canvas = jax.lax.dynamic_update_slice(
                 canvas,
-                jax.lax.dynamic_slice(
-                    canvas, (oy, ox, 0), (oth, otw, outC)
-                )
-                + weighted[idx],
+                jax.lax.dynamic_slice(canvas, (oy, ox, 0), (oth, otw, outC))
+                + out_tiles[idx] * win,
                 (oy, ox, 0),
             )
             weight = jax.lax.dynamic_update_slice(
                 weight,
-                jax.lax.dynamic_slice(weight, (oy, ox, 0), (oth, otw, 1))
-                + win[0],
+                jax.lax.dynamic_slice(weight, (oy, ox, 0), (oth, otw, 1)) + win,
                 (oy, ox, 0),
             )
             idx += 1
