@@ -233,5 +233,7 @@ def test_moire_screen_gan_arch(ref):
     from moephoto_tpu.models.demoire import moireScreenGan
 
     net = _damp(torch, GANNet())
-    x = np.random.RandomState(0).rand(1, 3, 64, 64).astype(np.float32)
+    # the DIN style path reduces by /256; anything below 512px hits a
+    # 0-dof variance (NaN) in the reference itself — hence its align=512
+    x = np.random.RandomState(0).rand(1, 3, 512, 512).astype(np.float32)
     assert runPair(torch, net, moireScreenGan, x) < TOL
