@@ -1,0 +1,228 @@
+"""Streaming dataflow runtime for temporal video models.
+
+Replaces the reference's pull-driven coroutine graphs
+(``imageProcess.py:407-537`` ``StreamState.run/pipe``) with an **eager
+scheduler**: stages advance in rounds until quiescent.  Buffers hold
+host/device frames; stage functions are jitted device programs with
+static shapes, so all dynamism (windows, padding, dedupe) lives on the
+host where it belongs on TPU.
+
+Semantics preserved from the reference:
+  - sliding windows of ``window`` frames per output (``wm1`` logic),
+  - ``reserve`` frames kept across pops for end padding,
+  - start/end reflection padding with the reference's index formula
+    (``StreamState.pad`` :447-459),
+  - sources that never exhaust (time-embedding, keyframe markers).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def stackBatch(items):
+    return jnp.stack(items)
+
+
+class Stream:
+    """A buffered frame stream (reference ``StreamState``)."""
+
+    def __init__(
+        self,
+        window: Optional[int] = None,
+        reserve: int = 0,
+        batchFunc: Optional[Callable] = None,
+        tensor: bool = True,
+        store: bool = True,
+        name: Optional[str] = None,
+    ):
+        self.wm1 = (window - 1) if window else 0
+        self.reserve = reserve
+        self.tensor = tensor
+        self.store = store
+        self.batchFunc = batchFunc if batchFunc else (stackBatch if tensor else (lambda x: x))
+        self.name = name
+        self.state: List = []
+        self.stateR: List = []
+        self.startPad = 0
+        self.endPad = 0
+        self.sink: Optional[List] = None  # set for sink streams
+
+    # -- sizing ------------------------------------------------------------
+    def avail(self, size: int = 0) -> int:
+        ls = len(self.state)
+        if ls < self.wm1 + (size or 1) or self.startPad:
+            return 0
+        lb = ls - self.wm1
+        return min(size, lb) if size else lb
+
+    # -- padding (reference ``pad`` imageProcess.py:447-459) ---------------
+    def _pad(self, padding: int) -> int:
+        if padding == 0:
+            return 0
+        absPad = abs(padding)
+        if len(self.stateR) + len(self.state) < 1 + absPad * 2:
+            return 0
+        offset = padding - 2 if padding < 0 else 0
+        ids = [int(i) + padding + offset for i in range(absPad, 0, -1)]
+        state = self.stateR + self.state
+        batch = [state[i] for i in ids]
+        self.state = (self.state + batch) if padding < 0 else (batch + self.state)
+        return padding
+
+    def setPadding(self, padding: int):
+        if padding > 0:
+            self.startPad = padding
+        elif padding < 0:
+            self.endPad = padding
+        return self
+
+    def applyEndPad(self):
+        if self.endPad:
+            self.endPad -= self._pad(self.endPad)
+
+    # -- IO ----------------------------------------------------------------
+    def put(self, batch):
+        if batch is None:
+            return None
+        if self.sink is not None:
+            ext = batch if isinstance(batch, list) else list(batch)
+            self.sink.extend(ext)
+            return batch
+        if self.store:
+            self.state.extend(t for t in batch)
+        if self.startPad:
+            self.startPad -= self._pad(self.startPad)
+        return batch
+
+    def pop(self, size: int = 1):
+        r = self.avail(size)
+        if not r:
+            return None
+        if self.wm1:
+            batch = [
+                self.batchFunc(self.state[i : i + self.wm1 + 1]) for i in range(r)
+            ]
+        else:
+            batch = self.state[:r]
+        if self.reserve:
+            self.stateR = (self.stateR + self.state[r - self.reserve : r])[-self.reserve :]
+        self.state = self.state[r:]
+        return self.batchFunc(batch)
+
+    def __len__(self):
+        return self.avail()
+
+
+class InfiniteSource:
+    """Base for never-exhausting sources (EmbtState/KeyFrameState analogs)."""
+
+    def avail(self, size: int = 0) -> int:
+        return size or (1 << 30)
+
+    def applyEndPad(self):
+        pass
+
+    endPad = 0
+    startPad = 0
+
+    def pop(self, size: int = 1):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+class Stage:
+    """One computation: pops aligned batches from ``ins``, pushes the
+    result to every stream in ``outs``."""
+
+    def __init__(
+        self,
+        fn: Callable,
+        ins: Sequence,
+        outs: Sequence[Stream],
+        size: int = 1,
+        args: Sequence = (),
+    ):
+        self.fn = fn
+        self.ins = list(ins)
+        self.outs = list(outs)
+        self.size = size
+        self.args = list(args)
+
+    def advance(self, last: bool) -> bool:
+        r = min(s.avail(self.size) for s in self.ins)
+        if r < self.size and not (r and last):
+            if last:
+                for s in self.ins:
+                    s.applyEndPad()
+                r = min(s.avail(self.size) for s in self.ins)
+                if not r:
+                    return False
+            else:
+                return False
+        r = min(r, self.size)
+        batches = [s.pop(r) for s in self.ins]
+        out = self.fn(*self.args, *batches, last=last)
+        if out is None:
+            return True
+        for s in self.outs:
+            s.put(out)
+        return True
+
+
+class StreamGraph:
+    """Eager scheduler: after each frame push (or during flush), advance
+    stages round-robin until quiescent.
+
+    Flush correctness: a stage may only observe ``last=True`` once every
+    transitive producer has fully drained (the reference encodes this in
+    its demand-driven ``pull`` recursion, ``imageProcess.py:481-515``).
+    We phase the flush by dataflow depth instead: stages at depth <= d
+    flush before any stage at depth d+1 sees ``last``.
+    """
+
+    def __init__(self):
+        self.stages: List[Stage] = []
+        self._producer = {}  # id(stream) -> producing stage
+
+    def stage(self, fn, ins, outs, size=1, args=()) -> Stage:
+        st = Stage(fn, ins, outs, size, args)
+        self.stages.append(st)
+        for o in st.outs:
+            self._producer[id(o)] = st
+        return st
+
+    def tee(self, src: Stream, dsts: Sequence[Stream]):
+        """Identity fan-out stage."""
+        return self.stage(lambda batch, last=None: batch, [src], dsts)
+
+    def _depth(self, st: Stage, memo) -> int:
+        if id(st) in memo:
+            return memo[id(st)]
+        memo[id(st)] = 0  # break accidental cycles
+        ds = [
+            self._depth(self._producer[id(i)], memo) + 1
+            for i in st.ins
+            if id(i) in self._producer
+        ]
+        memo[id(st)] = max(ds) if ds else 0
+        return memo[id(st)]
+
+    def _round(self, lastDepth: int, memo) -> bool:
+        progress = False
+        for st in self.stages:
+            if st.advance(self._depth(st, memo) <= lastDepth):
+                progress = True
+        return progress
+
+    def run(self, last: bool = False):
+        memo = {}
+        while self._round(-1, memo):
+            pass
+        if last:
+            maxDepth = max((self._depth(st, memo) for st in self.stages), default=0)
+            for d in range(maxDepth + 1):
+                while self._round(d, memo):
+                    pass

@@ -1,0 +1,220 @@
+"""ESTRNN recurrent video deblur (reference ``python/ESTRNN.py``;
+Zhong et al., ECCV 2020).
+
+Dataflow: per-frame RDBCell with carried hidden state -> 5-frame window
+of features + pooled weights -> GSA global spatio-temporal attention ->
+transposed-conv reconstructor.  The reference's StreamState graph
+(``doESTRNN`` :209-224) maps to a 4-stage :class:`StreamGraph`; the
+recurrent cell is a jitted function with the hidden state carried on
+the host side between calls.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from moephoto_tpu.config import config
+from moephoto_tpu.engine.stream import Stream, StreamGraph
+from moephoto_tpu.models.api import (
+    Params,
+    conv2d,
+    convTranspose2d,
+    globalAvgPool,
+    linear,
+    loadTorchWeights,
+    sigmoid,
+)
+from moephoto_tpu.models.streamcommon import StreamOpt, alignPad, makeStreamFunc
+from moephoto_tpu.progress import Node
+
+NumFeat = 16
+RefTime = 5  # past 2 + current + future 2 (ESTRNN.py:21-27)
+pastFrames = 2
+futureFrames = 2
+DS_ratio = 2
+nBlocks = 15
+
+gelu = lambda x: jax.nn.gelu(x, approximate=False)
+
+
+def _rdb(params: Params, p: str, x: jnp.ndarray, numLayer: int = 3) -> jnp.ndarray:
+    """Residual dense block (ESTRNN.py:60-74): dense GELU convs + 1x1,
+    residual.  Children: 0..numLayer-1 dense layers, numLayer = conv1x1."""
+    h = x
+    for i in range(numLayer):
+        y = gelu(conv2d(params, f"{p}.{i}.conv", h, padding=1))
+        h = jnp.concatenate([h, y], axis=-1)
+    return x + conv2d(params, f"{p}.{numLayer}", h)
+
+
+def _rdbDS(params: Params, p: str, x: jnp.ndarray) -> jnp.ndarray:
+    """RDB + stride-2 conv5x5 downsample (ESTRNN.py:94-97)."""
+    y = _rdb(params, p + ".0", x)
+    return conv2d(params, p + ".1", y, stride=2, padding=2)
+
+
+def _rdnet(params: Params, p: str, x: jnp.ndarray) -> jnp.ndarray:
+    """RDNet (ESTRNN.py:77-91): 15 RDBs, concat all, 1x1 + 3x3."""
+    outs = []
+    h = x
+    for i in range(nBlocks):
+        h = _rdb(params, f"{p}.RDBs.{i}", h)
+        outs.append(h)
+    cat = jnp.concatenate(outs, axis=-1)
+    y = conv2d(params, p + ".conv1x1", cat)
+    return conv2d(params, p + ".conv3x3", y, padding=1)
+
+
+def cellApply(params: Params, x: jnp.ndarray, hidden: jnp.ndarray):
+    """RDBCell (ESTRNN.py:140-164): returns (features, new_hidden)."""
+    out = conv2d(params, "cell.F_B0", x, padding=2)
+    out = _rdbDS(params, "cell.F_B1", out)
+    out = _rdbDS(params, "cell.F_B2", out)
+    out = jnp.concatenate([out, hidden], axis=-1)
+    h = _rdnet(params, "cell.F_R", out)
+    newHidden = conv2d(params, "cell.F_h.0", out, padding=1)
+    newHidden = _rdb(params, "cell.F_h.1", newHidden)
+    newHidden = conv2d(params, "cell.F_h.2", newHidden, padding=1)
+    return h, newHidden
+
+
+def gsaApply(params: Params, hs: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+    """GSA fusion (ESTRNN.py:100-137).
+
+    hs: (b, 5, h, w, c); weight: (b, 5, c).  Channel-last layout;
+    channel concat of (ref, neighbour) matches the torch dim-1 concat.
+    """
+    b, n, h, w, c = hs.shape
+    center = pastFrames
+    ids = [i for i in range(n) if i != center]
+    ref = hs[:, center]  # (b, h, w, c)
+    wRef = weight[:, center]
+    cor = jnp.stack(
+        [jnp.concatenate([ref, hs[:, i]], axis=-1) for i in ids], axis=1
+    )  # (b, 4, h, w, 2c)
+    wCat = jnp.stack(
+        [jnp.concatenate([wRef, weight[:, i]], axis=-1) for i in ids], axis=1
+    )  # (b, 4, 2c)
+    wf = linear(params, "fusion.F_f.0", wCat)
+    wf = gelu(wf)
+    wf = linear(params, "fusion.F_f.2", wf)
+    wf = sigmoid(wf)  # (b, 4, 2c)
+    corF = cor.reshape(b * 4, h, w, 2 * c)
+    corF = conv2d(params, "fusion.F_p.0", corF)
+    corF = conv2d(params, "fusion.F_p.1", corF)
+    corF = wf.reshape(b * 4, 1, 1, 2 * c) * corF
+    corF = conv2d(params, "fusion.condense", corF)  # (b*4, h, w, c)
+    corL = jnp.concatenate(
+        [corF.reshape(b, 4, h, w, c).transpose(0, 2, 3, 1, 4).reshape(b, h, w, 4 * c), ref],
+        axis=-1,
+    )
+    return conv2d(params, "fusion.fusion", corL)
+
+
+def reconsApply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Reconstructor (ESTRNN.py:166-172): two stride-2 ConvT + conv5x5."""
+    y = convTranspose2d(params, "recons.0", x, stride=2, padding=1, output_padding=1)
+    y = convTranspose2d(params, "recons.1", y, stride=2, padding=1, output_padding=1)
+    return conv2d(params, "recons.2", y, padding=2)
+
+
+modelPaths = {
+    "1ms8ms": "model/ESTRNN/ESTRNN_C80B15_BSD_1ms8ms.pth",
+    "2ms16ms": "model/ESTRNN/ESTRNN_C80B15_BSD_2ms16ms.pth",
+    "3ms24ms": "model/ESTRNN/ESTRNN_C80B15_BSD_3ms24ms.pth",
+}
+
+
+class ESTRNNOpt(StreamOpt):
+    pass
+
+
+def getOpt(option: dict) -> ESTRNNOpt:
+    from moephoto_tpu.pipeline.registry import modelPath
+
+    opt = ESTRNNOpt()
+    path = modelPath(modelPaths[option["model"]])
+    # checkpoint is a dict of per-module state dicts (runSlomo.py:20-31)
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    from moephoto_tpu.models.api import convertStateDict
+
+    dtype = config.dtype()
+    params = {}
+    for mod in ("cell", "fusion", "recons"):
+        sd = {f"{mod}.{k}": v.numpy() for k, v in raw[mod].items()}
+        isConvT = (lambda k, s: k.startswith("recons.") and k in
+                   ("recons.0.weight", "recons.1.weight"))
+        conv = convertStateDict(sd, isConvT)
+        params.update({k: jnp.asarray(v, dtype=dtype if v.dtype.kind == "f" else None)
+                       for k, v in conv.items()})
+    opt.params = params
+    opt.dtype = dtype
+    return opt
+
+
+def doESTRNN(func, node, opt: ESTRNNOpt):
+    """Assemble the stream graph (reference ``doESTRNN`` :209-224)."""
+    nodes = [Node({"ESTRNN": key}) for key in ("forward", "pooling", "fusion", "recons")]
+    graph = StreamGraph()
+    sinkList: List = []
+
+    cellJit = jax.jit(cellApply)
+    gsaJit = jax.jit(gsaApply)
+    reconsJit = jax.jit(reconsApply)
+
+    hiddenBox = {"h": None}
+
+    def calcForward(x, last=None):
+        # x: list of (H, W, 3) frames (batch of 1 from the driver)
+        frame = x[0][None].astype(opt.dtype)
+        if hiddenBox["h"] is None:
+            H, W = frame.shape[1] >> DS_ratio, frame.shape[2] >> DS_ratio
+            hiddenBox["h"] = jnp.zeros((1, H, W, NumFeat), opt.dtype)
+        h, hiddenBox["h"] = cellJit(opt.params, frame, hiddenBox["h"])
+        return h  # (1, h, w, c) -> one item
+
+    def pooling(hs, last=None):
+        # hs: list of (h, w, c) items
+        v = jnp.stack(hs)  # (r, h, w, c)
+        return jnp.mean(v.astype(jnp.float32), axis=(1, 2)).astype(v.dtype)
+
+    def fusionStage(hsB, wB, last=None):
+        # hsB: (r, 5, h, w, c); wB: (r, 5, c)
+        return gsaJit(opt.params, hsB, wB)
+
+    def reconsStage(fusionB, last=None):
+        out = reconsJit(opt.params, jnp.stack(fusionB))
+        return [jnp.clip(o.astype(jnp.float32), 0.0, 1.0) for o in out]
+
+    inp = Stream(name="inp")
+    forward = Stream(name="forward")
+    hs = Stream(RefTime, reserve=1, name="hs")
+    inpW = Stream(name="inpW")
+    w = Stream(RefTime, reserve=1, name="w")
+    fusion = Stream(name="fusion")
+    outS = Stream(store=False, name="out")
+    outS.sink = sinkList
+
+    graph.stage(nodes[0].bindFunc(calcForward), [inp], [forward])
+    graph.tee(forward, [hs, inpW])
+    graph.stage(nodes[1].bindFunc(pooling), [inpW], [w])
+    graph.stage(nodes[2].bindFunc(fusionStage), [hs, w], [fusion])
+    graph.stage(nodes[3].bindFunc(reconsStage), [fusion], [outS])
+
+    def initFunc(o, x):
+        o.padF, o.unpadF, size = alignPad(x, 8)
+        o.pad = lambda f: o.padF(f)
+        h, w_ = x.shape[0], x.shape[1]
+        o.unpad = lambda f: f[:h, :w_]
+        return size
+
+    return makeStreamFunc(
+        func, node, opt, nodes, "ESTRNN", [hs, w], initFunc,
+        lambda x: inp.put([x]), graph, sinkList,
+    )

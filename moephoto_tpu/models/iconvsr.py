@@ -1,0 +1,435 @@
+"""IconVSR bidirectional recurrent video super-resolution x4
+(reference ``python/videoSR.py``).
+
+Components: SpyNet 6-level pyramid optical flow, EDVR keyframe feature
+extractor (PCD deformable alignment + TSA fusion), backward/forward
+recurrent trunks with keyframe fusion, pixel-shuffle upsampler.
+
+Streaming structure mirrors the reference graph (``doVSR`` :502-541):
+the backward pass runs on 20-frame chunks with fresh state (bounded
+lookahead), forward is strictly recurrent, keyframes every 7 frames.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moephoto_tpu.config import config
+from moephoto_tpu.engine.stream import InfiniteSource, Stream, StreamGraph
+from moephoto_tpu.models.api import (
+    Params,
+    avgPool2d,
+    conv2d,
+    leakyRelu,
+    maxPool2d,
+    pixelShuffle,
+    resizeBilinear,
+    sigmoid,
+)
+from moephoto_tpu.models.blocks import residualBlockNoBN
+from moephoto_tpu.models.streamcommon import StreamOpt, alignPad, makeStreamFunc
+from moephoto_tpu.ops.deform import modulatedDeformConvPack
+from moephoto_tpu.ops.warp import backWarp
+from moephoto_tpu.progress import Node
+
+RefTime = 7
+NumFeat = 64
+BackwardChunk = 20
+
+modelPath_ = "model/vsr/IconVSR_Vimeo90K_BDx4-cfcb7e00.pth"
+
+_SPY_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_SPY_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def spynetApply(params: Params, pair: jnp.ndarray) -> jnp.ndarray:
+    """SpyNet (videoSR.py:87-137): pair (B, 2, H, W, 3) -> flow (B, H, W, 2).
+
+    H, W must be multiples of 64 (6 halvings, asserted in the ref :125).
+    """
+    mean = jnp.asarray(_SPY_MEAN).reshape(1, 1, 1, 3)
+    std = jnp.asarray(_SPY_STD).reshape(1, 1, 1, 3)
+    ref = [(pair[:, 0] - mean.astype(pair.dtype)) / std.astype(pair.dtype)]
+    supp = [(pair[:, 1] - mean.astype(pair.dtype)) / std.astype(pair.dtype)]
+    for _ in range(5):
+        ref.insert(0, avgPool2d(ref[0], 2, 2, count_include_pad=False))
+        supp.insert(0, avgPool2d(supp[0], 2, 2, count_include_pad=False))
+    B, H0, W0, _ = ref[0].shape
+    flow = jnp.zeros((B, H0 // 2, W0 // 2, 2), pair.dtype)
+    for level in range(6):
+        h, w = ref[level].shape[1], ref[level].shape[2]
+        up = (
+            resizeBilinear(flow, h, w, align_corners=True) * 2.0
+        )
+        warped = backWarp(supp[level], up, padding_mode="border")
+        inp = jnp.concatenate([ref[level], warped, up], axis=-1)
+        y = inp
+        p = f"spynet.basic_module.{level}"
+        for j, c in zip(range(0, 9, 2), (32, 64, 32, 16, 2)):
+            y = conv2d(params, f"{p}.{j}", y, padding=3)
+            if j < 8:
+                y = jax.nn.relu(y)
+        flow = y + up
+    return flow
+
+
+# --- EDVR ------------------------------------------------------------------
+
+
+def _pcdAlign(params: Params, p: str, nbr: List[jnp.ndarray], ref: List[jnp.ndarray]):
+    """PCD alignment (videoSR.py:139-220): 3-level pyramid cascade of
+    deformable convs."""
+    upOffset = upFeat = None
+    feat = None
+    for i in range(3, 0, -1):
+        lv = f"l{i}"
+        offset = jnp.concatenate([nbr[i - 1], ref[i - 1]], axis=-1)
+        offset = leakyRelu(conv2d(params, f"{p}.offset_conv1.{lv}", offset, padding=1), 0.1)
+        if i == 3:
+            offset = leakyRelu(conv2d(params, f"{p}.offset_conv2.{lv}", offset, padding=1), 0.1)
+        else:
+            offset = leakyRelu(
+                conv2d(
+                    params,
+                    f"{p}.offset_conv2.{lv}",
+                    jnp.concatenate([offset, upOffset], axis=-1),
+                    padding=1,
+                ),
+                0.1,
+            )
+            offset = leakyRelu(conv2d(params, f"{p}.offset_conv3.{lv}", offset, padding=1), 0.1)
+        feat = modulatedDeformConvPack(params, f"{p}.dcn_pack.{lv}", nbr[i - 1], offset)
+        if i < 3:
+            feat = conv2d(
+                params, f"{p}.feat_conv.{lv}",
+                jnp.concatenate([feat, upFeat], axis=-1), padding=1,
+            )
+        if i > 1:
+            feat = leakyRelu(feat, 0.1)
+            h, w = offset.shape[1] * 2, offset.shape[2] * 2
+            upOffset = resizeBilinear(offset, h, w) * 2.0
+            upFeat = resizeBilinear(feat, h, w)
+    offset = jnp.concatenate([feat, ref[0]], axis=-1)
+    offset = leakyRelu(conv2d(params, f"{p}.cas_offset_conv1", offset, padding=1), 0.1)
+    offset = leakyRelu(conv2d(params, f"{p}.cas_offset_conv2", offset, padding=1), 0.1)
+    feat = leakyRelu(modulatedDeformConvPack(params, f"{p}.cas_dcnpack", feat, offset), 0.1)
+    return feat
+
+
+def _tsaFusion(params: Params, p: str, aligned: jnp.ndarray, center: int):
+    """TSA fusion (videoSR.py:222-307): aligned (B, N, H, W, C)."""
+    B, N, H, W, C = aligned.shape
+    embRef = conv2d(params, p + ".temporal_attn1", aligned[:, center], padding=1)
+    emb = conv2d(
+        params, p + ".temporal_attn2", aligned.reshape(B * N, H, W, C), padding=1
+    ).reshape(B, N, H, W, -1)
+    corr = jnp.sum(emb * embRef[:, None].astype(emb.dtype), axis=-1)  # (B, N, H, W)
+    corrProb = sigmoid(corr)[..., None]  # (B, N, H, W, 1)
+    alignedW = aligned * corrProb.astype(aligned.dtype)
+    # (B, H, W, N*C) with torch channel order [frame0 C, frame1 C, ...]
+    flat = alignedW.transpose(0, 2, 3, 1, 4).reshape(B, H, W, N * C)
+    feat = leakyRelu(conv2d(params, p + ".feat_fusion", flat), 0.1)
+
+    attn = leakyRelu(conv2d(params, p + ".spatial_attn1", flat), 0.1)
+    attnMax = maxPool2d(attn, 3, 2, 1)
+    attnAvg = avgPool2d(attn, 3, 2, 1)
+    attn = leakyRelu(
+        conv2d(params, p + ".spatial_attn2", jnp.concatenate([attnMax, attnAvg], -1)),
+        0.1,
+    )
+    attnLevel = leakyRelu(conv2d(params, p + ".spatial_attn_l1", attn), 0.1)
+    attnMax = maxPool2d(attnLevel, 3, 2, 1)
+    attnAvg = avgPool2d(attnLevel, 3, 2, 1)
+    attnLevel = leakyRelu(
+        conv2d(
+            params, p + ".spatial_attn_l2", jnp.concatenate([attnMax, attnAvg], -1),
+            padding=1,
+        ),
+        0.1,
+    )
+    attnLevel = leakyRelu(conv2d(params, p + ".spatial_attn_l3", attnLevel, padding=1), 0.1)
+    attnLevel = resizeBilinear(attnLevel, attnLevel.shape[1] * 2, attnLevel.shape[2] * 2)
+    attn = leakyRelu(conv2d(params, p + ".spatial_attn3", attn, padding=1), 0.1) + attnLevel
+    attn = leakyRelu(conv2d(params, p + ".spatial_attn4", attn), 0.1)
+    attn = resizeBilinear(attn, attn.shape[1] * 2, attn.shape[2] * 2)
+    attn = conv2d(params, p + ".spatial_attn5", attn, padding=1)
+    attnAdd = conv2d(
+        params, p + ".spatial_attn_add2",
+        leakyRelu(conv2d(params, p + ".spatial_attn_add1", attn), 0.1),
+    )
+    attn = sigmoid(attn)
+    return feat * attn.astype(feat.dtype) * 2 + attnAdd.astype(feat.dtype)
+
+
+def edvrApply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """EDVR keyframe feature extractor (videoSR.py:324-379):
+    x (B, N, H, W, 3) -> (B, H, W, 64)."""
+    B, N, H, W, C = x.shape
+    center = N // 2
+    p = "edvr"
+    l1 = leakyRelu(conv2d(params, p + ".conv_first", x.reshape(B * N, H, W, C), padding=1), 0.1)
+    for i in range(5):
+        l1 = residualBlockNoBN(params, f"{p}.feature_extraction.{i}", l1)
+    l2 = leakyRelu(conv2d(params, p + ".conv_l2_1", l1, stride=2, padding=1), 0.1)
+    l2 = leakyRelu(conv2d(params, p + ".conv_l2_2", l2, padding=1), 0.1)
+    l3 = leakyRelu(conv2d(params, p + ".conv_l3_1", l2, stride=2, padding=1), 0.1)
+    l3 = leakyRelu(conv2d(params, p + ".conv_l3_2", l3, padding=1), 0.1)
+    l1 = l1.reshape(B, N, H, W, -1)
+    l2 = l2.reshape(B, N, H >> 1, W >> 1, -1)
+    l3 = l3.reshape(B, N, H >> 2, W >> 2, -1)
+    refFeat = [l1[:, center], l2[:, center], l3[:, center]]
+    aligned = []
+    for i in range(N):
+        nbr = [l1[:, i], l2[:, i], l3[:, i]]
+        aligned.append(_pcdAlign(params, p + ".pcd_align", nbr, refFeat))
+    aligned = jnp.stack(aligned, axis=1)  # (B, N, H, W, C)
+    return _tsaFusion(params, p + ".fusion", aligned, center)
+
+
+def trunkApply(params: Params, prefix: str, x: jnp.ndarray, numBlocks: int = 30):
+    """ConvResidualBlocks (videoSR.py:309-311)."""
+    y = leakyRelu(conv2d(params, prefix + ".0", x, padding=1), 0.1)
+    for i in range(numBlocks):
+        y = residualBlockNoBN(params, f"{prefix}.2.{i}", y)
+    return y
+
+
+def upsampleApply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Upsample head (videoSR.py:313-322): two pixel-shuffle x2 stages."""
+    p = "upsample"
+    y = pixelShuffle(conv2d(params, p + ".0", x, padding=1), 2)
+    y = leakyRelu(y, 0.1)
+    y = pixelShuffle(conv2d(params, p + ".3", y, padding=1), 2)
+    y = leakyRelu(y, 0.1)
+    y = leakyRelu(conv2d(params, p + ".6", y, padding=1), 0.1)
+    return conv2d(params, p + ".8", y, padding=1)
+
+
+# --- keyframe marker -------------------------------------------------------
+
+
+class KeyFrameState(InfiniteSource):
+    """Marks every ``window``-th frame (+ stream tail) as keyframe
+    (videoSR.py:381-401)."""
+
+    def __init__(self, window: int):
+        self.window = window
+        self.count = 0
+        self.last = True
+
+    def pop(self, size: int = 1):
+        res = np.zeros((size,), bool)
+        for i in range(-self.count % self.window, size, self.window):
+            res[i] = True
+        if self.last:
+            res[-1] = True
+        self.count += size
+        return res
+
+
+# --- option + graph --------------------------------------------------------
+
+
+class VSROpt(StreamOpt):
+    pass
+
+
+def getOpt(*_) -> VSROpt:
+    import torch
+
+    from moephoto_tpu.models.api import convertStateDict
+    from moephoto_tpu.pipeline.registry import modelPath
+
+    opt = VSROpt()
+    raw = torch.load(modelPath(modelPath_), map_location="cpu", weights_only=False)
+    dtype = config.dtype()
+    params = {}
+    for mod, sd in raw.items():
+        flat = {f"{mod}.{k}": v.numpy() for k, v in sd.items()}
+        conv = convertStateDict(flat)
+        params.update(
+            {
+                k: jnp.asarray(v, dtype=dtype if v.dtype.kind == "f" else None)
+                for k, v in conv.items()
+            }
+        )
+    opt.params = params
+    opt.dtype = dtype
+    return opt
+
+
+def doVSR(func, node, opt: VSROpt):
+    """Assemble the VSR stream graph (reference ``doVSR`` :502-541)."""
+    nodes = [
+        Node({"IconVSR": key})
+        for key in ("KeyframeFeature", "Flow", "Backward", "FlowF", "Forward", "upsample")
+    ]
+    graph = StreamGraph()
+    sinkList: List = []
+
+    edvrJit = jax.jit(edvrApply)
+    spyJit = jax.jit(spynetApply)
+    bTrunkJit = jax.jit(lambda p, x: trunkApply(p, "backward_trunk", x))
+    fTrunkJit = jax.jit(lambda p, x: trunkApply(p, "forward_trunk", x))
+    bFusionJit = jax.jit(lambda p, x: conv2d(p, "backward_fusion", x, padding=1))
+    fFusionJit = jax.jit(lambda p, x: conv2d(p, "forward_fusion", x, padding=1))
+    upJit = jax.jit(
+        lambda p, inp, feat: upsampleApply(p, feat)
+        + resizeBilinear(inp, inp.shape[1] * 4, inp.shape[2] * 4).astype(jnp.float32)
+    )
+    warpJit = jax.jit(lambda img, flow: backWarp(img, flow))
+
+    def kfStage(windows, isKey, last=None):
+        out = []
+        for wFrames, b in zip(windows, isKey):
+            if b and len(wFrames) == RefTime:
+                clip = jnp.stack(wFrames)[None].astype(opt.dtype)  # (1, 7, H, W, 3)
+                out.append(edvrJit(opt.params, clip)[0])
+            else:
+                out.append(None)
+        return out
+
+    def calcFlowBackward(pairs, last=None):
+        flows = spyJit(opt.params, pairs.astype(opt.dtype))  # (b, H, W, 2)
+        out = [flows[i] for i in range(flows.shape[0])]
+        if last:
+            out.append(None)
+        return out
+
+    fwdState = {"first": True}
+
+    def calcFlowForward(pairs, last=None):
+        out = []
+        if fwdState["first"]:
+            out.append(None)
+            pairs = pairs[1:]
+            fwdState["first"] = False
+        if pairs.shape[0]:
+            rev = pairs[:, ::-1]
+            flows = spyJit(opt.params, rev.astype(opt.dtype))
+            out.extend(flows[i] for i in range(flows.shape[0]))
+        return out
+
+    def calcBackward(inp, flowInp, keyframeFeat, last=None):
+        n = inp.shape[0]
+        h, w = inp.shape[1], inp.shape[2]
+        featProp = jnp.zeros((1, h, w, NumFeat), opt.dtype)
+        out = []
+        if last:  # 2 empties so the tail windows fill (videoSR.py:420-421)
+            out = [None, None]
+        for i in range(n - 1, -1, -1):
+            if i < n - 1 or not last:
+                featProp = warpJit(
+                    featProp.astype(jnp.float32), flowInp[i][None].astype(jnp.float32)
+                ).astype(opt.dtype)
+            if keyframeFeat[i] is not None:
+                featProp = jnp.concatenate([featProp, keyframeFeat[i][None]], axis=-1)
+                featProp = bFusionJit(opt.params, featProp)
+            featProp = jnp.concatenate(
+                [inp[i][None].astype(opt.dtype), featProp], axis=-1
+            )
+            featProp = bTrunkJit(opt.params, featProp)
+            out.insert(0, featProp[0])
+        return out
+
+    forwardState = {"featProp": None}
+
+    def calcForward(inp, flowInp, keyframeFeat, backward, last=None):
+        n = inp.shape[0]
+        h, w = inp.shape[1], inp.shape[2]
+        featProp = forwardState["featProp"]
+        if featProp is None:
+            featProp = jnp.zeros((1, h, w, NumFeat), opt.dtype)
+        out = []
+        for i in range(n):
+            if flowInp[i] is not None:
+                featProp = warpJit(
+                    featProp.astype(jnp.float32), flowInp[i][None].astype(jnp.float32)
+                ).astype(opt.dtype)
+            if keyframeFeat[i] is not None:
+                featProp = jnp.concatenate([featProp, keyframeFeat[i][None]], axis=-1)
+                featProp = fFusionJit(opt.params, featProp)
+            featProp = jnp.concatenate(
+                [
+                    inp[i][None].astype(opt.dtype),
+                    backward[i][0][None],
+                    featProp,
+                ],
+                axis=-1,
+            )
+            featProp = fTrunkJit(opt.params, featProp)
+            out.append(featProp[0])
+        forwardState["featProp"] = featProp
+        return out
+
+    def doUpsample(inp, forward, last=None):
+        out = upJit(opt.params, inp.astype(opt.dtype), forward.astype(opt.dtype))
+        return [o.astype(jnp.float32) for o in out]
+
+    listB = lambda x: x
+    inp = Stream(name="inp")
+    inp1 = Stream(name="inp1")
+    inp2 = Stream(name="inp2")
+    backwardInp = Stream(name="backwardInp")
+    flowInp = Stream(2, name="flowInp")
+    flowForwardInp = Stream(name="flowForwardInp").setPadding(1)
+    flowBackwardInp = Stream(name="flowBackwardInp")
+    isKeyFrame = KeyFrameState(RefTime)
+    keyframeFeatureInp = Stream(
+        RefTime, tensor=False, reserve=1, batchFunc=listB, name="kfInp"
+    )
+    keyframeFeatureS = Stream(tensor=False, batchFunc=listB, name="kf")
+    keyframeFeature1 = Stream(tensor=False, batchFunc=listB, name="kf1")
+    keyframeFeature2 = Stream(tensor=False, batchFunc=listB, name="kf2")
+    flowBackward = Stream(tensor=False, batchFunc=listB, name="flowB")
+    backward = Stream(3, tensor=False, batchFunc=listB, name="backward")
+    flowForward = Stream(tensor=False, batchFunc=listB, name="flowF")
+    forward = Stream(name="forward")
+    upsampleS = Stream(store=False, name="up")
+    upsampleS.sink = sinkList
+
+    graph.tee(inp, [inp1, inp2, flowInp, backwardInp])
+    graph.tee(flowInp, [flowForwardInp, flowBackwardInp])
+    graph.stage(
+        nodes[0].bindFunc(kfStage),
+        [keyframeFeatureInp, isKeyFrame],
+        [keyframeFeatureS],
+        size=RefTime,
+    )
+    graph.tee(keyframeFeatureS, [keyframeFeature1, keyframeFeature2])
+    graph.stage(nodes[1].bindFunc(calcFlowBackward), [flowBackwardInp], [flowBackward], size=1)
+    graph.stage(
+        nodes[2].bindFunc(calcBackward),
+        [backwardInp, flowBackward, keyframeFeature1],
+        [backward],
+        size=BackwardChunk,
+    )
+    graph.stage(nodes[3].bindFunc(calcFlowForward), [flowForwardInp], [flowForward], size=1)
+    graph.stage(
+        nodes[4].bindFunc(calcForward),
+        [inp1, flowForward, keyframeFeature2, backward],
+        [forward],
+        size=1,
+    )
+    graph.stage(nodes[5].bindFunc(doUpsample), [inp2, forward], [upsampleS], size=1)
+
+    def initFunc(o, x):
+        o.padF, o.unpadF, size = alignPad(x, 64)
+        o.pad = lambda f: o.padF(f)
+        h, w_ = x.shape[0], x.shape[1]
+        o.unpad = lambda f: f[: h * 4, : w_ * 4]
+        return size
+
+    def pushFunc(x):
+        if opt.i + opt.startPadding >= RefTime >> 1:
+            inp.put([x])
+        keyframeFeatureInp.put([x])
+
+    return makeStreamFunc(
+        func, node, opt, nodes, "VSR", [keyframeFeatureInp], initFunc,
+        pushFunc, graph, sinkList,
+    )

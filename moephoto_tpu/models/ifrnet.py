@@ -1,0 +1,440 @@
+"""IFRNet flow-based frame interpolation at arbitrary real factor sf>=1
+(reference ``python/IFRNet.py``; Kong et al.).
+
+Pipeline per frame pair: 4-level pyramid encoder -> coarse-to-fine
+decoder with bilinear warping -> post-merge (mask-blended warps + mean
+restoration + residual).  The time-embedding source (``EmbtState``) and
+the cosine-similarity frame deduper are host-side; all convs/warps are
+jitted device programs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moephoto_tpu.config import config
+from moephoto_tpu.engine.stream import InfiniteSource, Stream, StreamGraph
+from moephoto_tpu.models.api import (
+    Params,
+    conv2d,
+    convTranspose2d,
+    prelu,
+    resizeBilinear,
+    sigmoid,
+)
+from moephoto_tpu.models.streamcommon import StreamOpt, alignPad, makeStreamFunc
+from moephoto_tpu.ops.warp import gridSample
+from moephoto_tpu.progress import Node
+
+Channels = dict(
+    S=[24, 36, 54, 72],
+    M=[32, 48, 72, 96],
+    L=[(64, 7), 96, 144, 192],
+)
+SideChannels = dict(S=24, M=32, L=64)
+RefTime = 2
+
+modelPaths = dict(
+    S="model/IFRNet/IFRNet_S_GoPro.pth",
+    M="model/IFRNet/IFRNet_GoPro.pth",
+    L="model/IFRNet/IFRNet_L_GoPro.pth",
+)
+
+
+def warpExact(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """IFRNet Warp (IFRNet.py:19-35): exact pixel-offset bilinear warp
+    with border padding (the kw/kh normalization + align_corners=True
+    cancel to px = x + u)."""
+    B, H, W, _ = img.shape
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    gx = xs[None, None, :] + flow[..., 0].astype(jnp.float32)
+    gy = ys[None, :, None] + flow[..., 1].astype(jnp.float32)
+    nx = 2.0 * gx / max(W - 1, 1) - 1.0
+    ny = 2.0 * gy / max(H - 1, 1) - 1.0
+    grid = jnp.stack([nx, ny], axis=-1)
+    return gridSample(img, grid, align_corners=True, padding_mode="border")
+
+
+def _convrelu(params: Params, p: str, x, stride=1, k=3):
+    y = conv2d(params, p + ".0", x, stride=stride, padding=k >> 1)
+    return prelu(params, p + ".1", y)
+
+
+def encoderApply(params: Params, chs, x: jnp.ndarray) -> List[jnp.ndarray]:
+    """Pyramid encoder (IFRNet.py:44-60): returns features small->large
+    ([1/16, 1/8, 1/4, 1/2])."""
+    feats = []
+    cur = x
+    for i, c in enumerate(chs):
+        k = c[1] if isinstance(c, tuple) else 3
+        p = f"encoder.pyramids.{i}"
+        cur = _convrelu(params, p + ".0", cur, stride=2, k=k)
+        cur = _convrelu(params, p + ".1", cur, stride=1, k=3)
+        feats.append(cur)
+    return feats[::-1]
+
+
+def _resBlock(params: Params, p: str, x: jnp.ndarray, side: int) -> jnp.ndarray:
+    """ResBlock with side-channel sub-path (IFRNet.py:62-79)."""
+    out = _convrelu(params, p + ".conv1", x)
+    main, sidePart = out[..., :-side], out[..., -side:]
+    sidePart = _convrelu(params, p + ".conv2", sidePart)
+    out = jnp.concatenate([main, sidePart], axis=-1)
+    out = _convrelu(params, p + ".conv3", out)
+    main, sidePart = out[..., :-side], out[..., -side:]
+    sidePart = _convrelu(params, p + ".conv4", sidePart)
+    out = jnp.concatenate([main, sidePart], axis=-1)
+    out = conv2d(params, p + ".conv5", out, padding=1)
+    return prelu(params, p + ".prelu", x + out)
+
+
+def _decodeLevel(params: Params, i: int, x: jnp.ndarray, side: int) -> jnp.ndarray:
+    p = f"decoder.decoders.{i}"
+    y = _convrelu(params, p + ".0", x)
+    y = _resBlock(params, p + ".1", y, side)
+    return convTranspose2d(params, p + ".2", y, stride=2, padding=1)
+
+
+def decoderApply(
+    params: Params, chs, side: int, feats: List[jnp.ndarray], embt: jnp.ndarray
+) -> jnp.ndarray:
+    """Coarse-to-fine decoder for ONE frame pair (IFRNet.py:94-159).
+
+    feats: 4 levels small->large, each (2, h_l, w_l, c_l).
+    embt: (k,) interpolation times -> returns (k, 4+extra, ...) final
+    level output (flows 4ch, mask 1ch, residual 3ch at half res * 2).
+    """
+    k = embt.shape[0]
+    f0 = feats[0]
+    h0, w0 = f0.shape[1], f0.shape[2]
+    x0 = jnp.concatenate([f0[0], f0[1]], axis=-1)  # (h0, w0, 2c)
+    x0 = jnp.broadcast_to(x0[None], (k,) + x0.shape)
+    embtMap = jnp.broadcast_to(
+        embt.reshape(k, 1, 1, 1).astype(x0.dtype), (k, h0, w0, 1)
+    )
+    args: Tuple = (x0, embtMap)
+    out = None
+    upFlow0 = upFlow1 = None
+    for i in range(4):
+        if i:
+            ft = feats[i]  # (2, h, w, c)
+            ft0 = jnp.broadcast_to(ft[0][None], (k,) + ft[0].shape)
+            ft1 = jnp.broadcast_to(ft[1][None], (k,) + ft[1].shape)
+            f0w = warpExact(ft0, upFlow0)
+            f1w = warpExact(ft1, upFlow1)
+            args = (ftRes, f0w, f1w, upFlow0, upFlow1)
+        xF = jnp.concatenate(args, axis=-1)
+        out = _decodeLevel(params, i, xF, side)
+        f0_ = out[..., :2]
+        f1_ = out[..., 2:4]
+        ftRes = out[..., 4:]
+        if i:
+            h, w = f0_.shape[1], f0_.shape[2]
+            f0_ = f0_ + 2.0 * resizeBilinear(upFlow0, h, w)
+            f1_ = f1_ + 2.0 * resizeBilinear(upFlow1, h, w)
+        if i == 3:
+            return jnp.concatenate([f0_, f1_, ftRes], axis=-1)
+        upFlow0, upFlow1 = f0_, f1_
+
+
+def postOutApply(
+    params: Params,
+    pair: jnp.ndarray,  # (2, H, W, 3) raw frames
+    pairN: jnp.ndarray,  # (2, H, W, 3) mean-normalized
+    means: jnp.ndarray,  # (2, 1, 1, 1)
+    embt: jnp.ndarray,  # (k,)
+    decoded: jnp.ndarray,  # (k, H, W, 8)
+) -> jnp.ndarray:
+    """Final merge (IFRNet ``postOut`` :164-187) for one pair: warped
+    blend by sigmoid mask + time-interpolated mean + residual."""
+    k = embt.shape[0]
+    upFlow0 = decoded[..., :2]
+    upFlow1 = decoded[..., 2:4]
+    upMask = sigmoid(decoded[..., 4:5])
+    upRes = decoded[..., 5:]
+    img0 = jnp.broadcast_to(pairN[0][None], (k,) + pairN[0].shape)
+    img1 = jnp.broadcast_to(pairN[1][None], (k,) + pairN[1].shape)
+    e = embt.reshape(k, 1, 1, 1).astype(jnp.float32)
+    meanP = (1 - e) * means[0] + e * means[1]
+    img0w = warpExact(img0, upFlow0)
+    img1w = warpExact(img1, upFlow1)
+    merged = upMask * (img0w - img1w) + img1w + meanP.astype(decoded.dtype)
+    pred = merged + upRes
+    return jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
+
+
+# --------------------------------------------------------------------------
+# host-side time embedding + dedupe
+# --------------------------------------------------------------------------
+
+hardshrink = lambda k, c: 0 if abs(k - c) < 1e-6 else k
+
+
+def getEmbWeight(i: int, c: float) -> np.ndarray:
+    """Interpolation times for pair i at step c = 1/sf
+    (IFRNet.py:191-192)."""
+    return np.arange(-hardshrink(i % c, c), 1 + 1e-6, c, dtype=np.float32)[1:]
+
+
+def getEmbStruct(t: np.ndarray) -> Tuple[np.ndarray, int, int]:
+    """(times, keepFirstCount, keepLastCount) (IFRNet.py:193)."""
+    if float(t[-1]) + 1e-6 > 1:
+        return (t[:-1], 0, 1)
+    return (t, 0, 0)
+
+
+class EmbtState(InfiniteSource):
+    """Per-pair time-embedding source (IFRNet.py:194-225)."""
+
+    def __init__(self, sf: float):
+        assert sf >= 1
+        self.c = 1.0 / sf
+        self.count = 0
+
+    def pop(self, size: int = 1):
+        res = [getEmbStruct(getEmbWeight(i, self.c)) for i in range(self.count, self.count + size)]
+        if not self.count:
+            res[0] = (res[0][0], 1, res[0][2])
+        self.count += size
+        return res
+
+
+class Deduper:
+    """Cosine-similarity frame dedupe / scene-cut detection
+    (IFRNet.py:227-266).  State items are 5-tuples
+    (features, embt, frame, frameN, mean)."""
+
+    NullOutput = None
+
+    def __init__(self, low: float, high: float):
+        self.state: Optional[list] = None
+        self.low = low
+        self.high = high
+        self.skips = 0
+
+    def _concat(self, embt):
+        self.skips += 1
+        s1 = self.state[1]
+        newT = np.concatenate(
+            [s1[0], np.ones((s1[2],), np.float32) * self.skips, embt[0] + self.skips]
+        )
+        self.state[1] = (newT, s1[1] + embt[1], embt[2])
+
+    def __call__(self, *args, last=None):
+        newState = [a[0] if isinstance(a, list) else a for a in args]
+        feats = newState[0]
+        embt = newState[1]
+        if self.state is None:
+            self.state = newState
+            return None
+        simNum = float(
+            jnp.vdot(
+                self.state[0][0].astype(jnp.float32).ravel(),
+                feats[0].astype(jnp.float32).ravel(),
+            )
+        )
+        n1 = float(jnp.linalg.norm(self.state[0][0].astype(jnp.float32).ravel()))
+        n2 = float(jnp.linalg.norm(feats[0].astype(jnp.float32).ravel()))
+        sim = simNum / max(n1 * n2, 1e-12)
+        if sim > self.high:  # duplicate: fold this frame into the gap
+            self._concat(embt)
+            if not last:
+                return None
+        s = self.state
+        if sim < self.low:  # scene cut: repeat the first frame instead
+            e0 = s[1]
+            s[1] = (np.empty((0,), np.float32), e0[1] + len(e0[0]), e0[2])
+        if self.skips:
+            s[1] = (s[1][0] / (self.skips + 1), s[1][1], s[1][2])
+        self.state = newState
+        self.skips = 0
+        return [s, newState] if last else [s]
+
+
+# --------------------------------------------------------------------------
+# option + graph assembly
+# --------------------------------------------------------------------------
+
+
+class IFRNetOpt(StreamOpt):
+    pass
+
+
+def getOpt(option: dict) -> IFRNetOpt:
+    from moephoto_tpu.models.api import convertStateDict
+    from moephoto_tpu.pipeline.registry import modelPath
+
+    model = option["model"][-1]
+    opt = IFRNetOpt()
+    opt.chs = Channels[model]
+    opt.side = SideChannels[model]
+    opt.sf = float(option["sf"])
+    opt.dedupe = bool(option.get("dedupe", False))
+    opt.dedupeLow = float(option.get("low", 0.5))
+    opt.dedupeHigh = float(option.get("high", 0.993))
+    opt.ensemble = int(option.get("ensemble", 0))
+    import torch
+
+    raw = torch.load(
+        modelPath(modelPaths[model]), map_location="cpu", weights_only=False
+    )
+    dtype = config.dtype()
+    params = {}
+    for mod in ("encoder", "decoder"):
+        sd = {f"{mod}.{k}": v.numpy() for k, v in raw[mod].items()}
+        # each Decoder's ConvTranspose is child index 2
+        isConvT = lambda k, s: k.startswith("decoder.decoders.") and k.endswith(".2.weight")
+        conv = convertStateDict(sd, isConvT)
+        params.update(
+            {
+                k: jnp.asarray(v, dtype=dtype if v.dtype.kind == "f" else None)
+                for k, v in conv.items()
+            }
+        )
+    opt.params = params
+    opt.dtype = dtype
+    return opt
+
+
+def doSlomo(func, node, opt: IFRNetOpt):
+    """Assemble the slomo stream graph (reference ``doSlomo``
+    IFRNet.py:316-343), with optional dedupe branch.
+
+    The time-embedding source is consumed synchronously with the frame
+    pairs by the decode stage (it is infinite, so it never gates
+    scheduling); the per-pair embt tuple rides along in the decode
+    output so the post stage needs no separate embt stream.
+    """
+    load = max(opt.sf - 1, 1)
+    nodes = [
+        Node({"IFRNet": "encode"}),
+        Node({"IFRNet": "decode"}, load=load),
+        Node({"IFRNet": "post"}, load=load),
+    ]
+    graph = StreamGraph()
+    sinkList: List = []
+
+    encJit = jax.jit(lambda p, x: encoderApply(p, opt.chs, x))
+    decJit = {}  # per embt-length jit cache
+    postJit = {}
+
+    listBatch = lambda x: x
+
+    def encode(frames, last=None):
+        f = frames[0]
+        feats = encJit(opt.params, f[None].astype(opt.dtype))
+        return [[lv[0] for lv in feats]]  # one item: list of 4 (h,w,c)
+
+    def calcMean(frames, last=None):
+        f = frames[0]
+        m = jnp.mean(f.astype(jnp.float32))
+        return [jnp.full((1, 1, 1), m, jnp.float32)]
+
+    def normalize(frames, means, last=None):
+        return [frames[0] - means[0].astype(frames[0].dtype)]
+
+    def levelsBatch(x):
+        """Stack per-frame feature lists level-wise; idempotent across
+        the window pop's two batchFunc applications."""
+        return [jnp.stack([s[j] for s in x]) for j in range(4)]
+
+    def decode(featPairs, embts, last=None):
+        feat = [lv[0] for lv in featPairs]  # 4 levels, each (2, h, w, c)
+        embt = embts[0]
+        k = len(embt[0])
+        if k == 0:
+            return [(embt, None)]
+        if k not in decJit:
+            decJit[k] = jax.jit(
+                lambda p, f, t: decoderApply(p, opt.chs, opt.side, f, t)
+            )
+        out = decJit[k](opt.params, feat, jnp.asarray(embt[0]).astype(opt.dtype))
+        return [(embt, out)]
+
+    def post(pairs, pairNs, meanPairs, decodes, last=None):
+        pair = pairs[0]
+        pairN = pairNs[0]
+        means = meanPairs[0]
+        embt, decoded = decodes[0]
+        res = []
+        k = len(embt[0])
+        for _ in range(int(embt[1])):  # keep-first copies
+            res.append(pair[0].astype(jnp.float32))
+        if k:
+            if k not in postJit:
+                postJit[k] = jax.jit(postOutApply)
+            preds = postJit[k](
+                opt.params, pair, pairN, means, jnp.asarray(embt[0]), decoded
+            )
+            for i in range(k):
+                res.append(preds[i])
+        for _ in range(int(embt[2])):  # keep-last copies
+            res.append(pair[1].astype(jnp.float32))
+        return res
+
+    opt.embt = EmbtState(opt.sf)
+    inp = Stream(name="inp")
+    pairRaw = Stream(2, name="pairRaw")
+    mean0 = Stream(name="mean0")
+    meanPair = Stream(2, name="meanPair")
+    inpN0 = Stream(name="inpN0")
+    pairN = Stream(2, name="pairN")
+    pairFeat = Stream(2, tensor=False, batchFunc=levelsBatch, name="featPair")
+    decodeS = Stream(tensor=False, batchFunc=listBatch, name="decode")
+    outS = Stream(store=False, name="pred")
+    outS.sink = sinkList
+
+    if opt.dedupe:
+        inps = [Stream(name=f"inps{i}") for i in range(3)]
+        graph.tee(inp, inps)
+        means = [mean0, Stream(name="mean1")]
+        graph.stage(calcMean, [inps[0]], means)
+        inpNs = [inpN0, Stream(name="inpN1")]
+        graph.stage(normalize, [inps[1], means[0]], inpNs)
+        ft1 = Stream(tensor=False, batchFunc=listBatch, name="ft1")
+        graph.stage(nodes[0].bindFunc(encode), [inpNs[0]], [ft1])
+        dedupeOut = [
+            Stream(tensor=False, batchFunc=listBatch, name=f"dd{i}") for i in range(5)
+        ]
+        deduper = Deduper(opt.dedupeLow, opt.dedupeHigh)
+        graph.stage(deduper, [ft1, opt.embt, inps[2], inpNs[1], means[1]], dedupeOut)
+        extract = lambda n: (
+            lambda items, last=None: [
+                item[n] for item in items if item[n] is not None
+            ]
+        )
+        emb1 = Stream(tensor=False, batchFunc=listBatch, name="emb1")
+        for i, tgt in enumerate((pairFeat, emb1, pairRaw, pairN, meanPair)):
+            graph.stage(extract(i), [dedupeOut[i]], [tgt])
+        embSource = emb1
+    else:
+        inps = [Stream(name="inps0"), Stream(name="inps1")]
+        graph.tee(inp, inps + [pairRaw])
+        graph.stage(calcMean, [inps[0]], [mean0, meanPair])
+        graph.stage(normalize, [inps[1], mean0], [inpN0, pairN])
+        graph.stage(nodes[0].bindFunc(encode), [inpN0], [pairFeat])
+        embSource = opt.embt
+
+    graph.stage(nodes[1].bindFunc(decode), [pairFeat, embSource], [decodeS])
+    graph.stage(
+        nodes[2].bindFunc(post), [pairRaw, pairN, meanPair, decodeS], [outS]
+    )
+
+    def initFunc(o, x):
+        o.padF, o.unpadF, size = alignPad(x, 16)
+        o.pad = lambda f: o.padF(f)
+        h, w_ = x.shape[0], x.shape[1]
+        o.unpad = lambda f: f[:h, :w_]
+        o.embt.count = o.start
+        o.end = 0
+        return size
+
+    return makeStreamFunc(
+        func, node, opt, nodes, "slomo", [], initFunc,
+        lambda x: inp.put([x]), graph, sinkList,
+    )
