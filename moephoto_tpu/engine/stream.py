@@ -144,21 +144,39 @@ class Stage:
         outs: Sequence[Stream],
         size: int = 1,
         args: Sequence = (),
+        flushOnce: bool = False,
     ):
         self.fn = fn
         self.ins = list(ins)
         self.outs = list(outs)
         self.size = size
         self.args = list(args)
+        # ``flushOnce``: the reference's pull scheduler guarantees such a
+        # stage sees ``last=True`` on its final real batch; the eager
+        # scheduler may have consumed everything already, so the stage is
+        # called one extra time at flush with all-None batches to emit
+        # its tail (e.g. the trailing None flow, backward pads, dedupe
+        # residue).
+        self.flushOnce = flushOnce
+        self._flushed = False
 
     def advance(self, last: bool) -> bool:
-        r = min(s.avail(self.size) for s in self.ins)
+        r = min(s.avail() for s in self.ins)
         if r < self.size and not (r and last):
             if last:
                 for s in self.ins:
                     s.applyEndPad()
-                r = min(s.avail(self.size) for s in self.ins)
+                r = min(s.avail() for s in self.ins)
                 if not r:
+                    if self.flushOnce and not self._flushed:
+                        self._flushed = True
+                        out = self.fn(
+                            *self.args, *(None for _ in self.ins), last=True
+                        )
+                        if out is not None:
+                            for s in self.outs:
+                                s.put(out)
+                            return True
                     return False
             else:
                 return False
@@ -187,8 +205,8 @@ class StreamGraph:
         self.stages: List[Stage] = []
         self._producer = {}  # id(stream) -> producing stage
 
-    def stage(self, fn, ins, outs, size=1, args=()) -> Stage:
-        st = Stage(fn, ins, outs, size, args)
+    def stage(self, fn, ins, outs, size=1, args=(), flushOnce=False) -> Stage:
+        st = Stage(fn, ins, outs, size, args, flushOnce)
         self.stages.append(st)
         for o in st.outs:
             self._producer[id(o)] = st

@@ -293,11 +293,17 @@ def doVSR(func, node, opt: VSROpt):
                 out.append(None)
         return out
 
+    tailState = {"flowNone": False, "backPad": False}
+
     def calcFlowBackward(pairs, last=None):
-        flows = spyJit(opt.params, pairs.astype(opt.dtype))  # (b, H, W, 2)
-        out = [flows[i] for i in range(flows.shape[0])]
-        if last:
+        out = []
+        if pairs is not None:
+            flows = spyJit(opt.params, pairs.astype(opt.dtype))  # (b, H, W, 2)
+            out = [flows[i] for i in range(flows.shape[0])]
+        if last and not tailState["flowNone"]:
+            # no flow exists past the final frame (videoSR.py:411-414)
             out.append(None)
+            tailState["flowNone"] = True
         return out
 
     fwdState = {"first": True}
@@ -315,12 +321,19 @@ def doVSR(func, node, opt: VSROpt):
         return out
 
     def calcBackward(inp, flowInp, keyframeFeat, last=None):
+        if inp is None:  # flush call: emit only the tail pads
+            if tailState["backPad"]:
+                return None
+            tailState["backPad"] = True
+            return [None, None]
         n = inp.shape[0]
         h, w = inp.shape[1], inp.shape[2]
         featProp = jnp.zeros((1, h, w, NumFeat), opt.dtype)
         out = []
-        if last:  # 2 empties so the tail windows fill (videoSR.py:420-421)
+        if last and not tailState["backPad"]:
+            # 2 empties so the tail windows fill (videoSR.py:420-421)
             out = [None, None]
+            tailState["backPad"] = True
         for i in range(n - 1, -1, -1):
             if i < n - 1 or not last:
                 featProp = warpJit(
@@ -401,12 +414,16 @@ def doVSR(func, node, opt: VSROpt):
         size=RefTime,
     )
     graph.tee(keyframeFeatureS, [keyframeFeature1, keyframeFeature2])
-    graph.stage(nodes[1].bindFunc(calcFlowBackward), [flowBackwardInp], [flowBackward], size=1)
+    graph.stage(
+        nodes[1].bindFunc(calcFlowBackward), [flowBackwardInp], [flowBackward],
+        size=1, flushOnce=True,
+    )
     graph.stage(
         nodes[2].bindFunc(calcBackward),
         [backwardInp, flowBackward, keyframeFeature1],
         [backward],
         size=BackwardChunk,
+        flushOnce=True,
     )
     graph.stage(nodes[3].bindFunc(calcFlowForward), [flowForwardInp], [flowForward], size=1)
     graph.stage(

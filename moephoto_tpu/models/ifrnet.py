@@ -226,6 +226,14 @@ class Deduper:
         self.state[1] = (newT, s1[1] + embt[1], embt[2])
 
     def __call__(self, *args, last=None):
+        if args[0] is None:  # flush call: emit the residual final state
+            if self.state is None:
+                return None
+            s, self.state = self.state, None
+            if self.skips:
+                s[1] = (s[1][0] / (self.skips + 1), s[1][1], s[1][2])
+                self.skips = 0
+            return [s]
         newState = [a[0] if isinstance(a, list) else a for a in args]
         feats = newState[0]
         embt = newState[1]
@@ -402,7 +410,10 @@ def doSlomo(func, node, opt: IFRNetOpt):
             Stream(tensor=False, batchFunc=listBatch, name=f"dd{i}") for i in range(5)
         ]
         deduper = Deduper(opt.dedupeLow, opt.dedupeHigh)
-        graph.stage(deduper, [ft1, opt.embt, inps[2], inpNs[1], means[1]], dedupeOut)
+        graph.stage(
+            deduper, [ft1, opt.embt, inps[2], inpNs[1], means[1]], dedupeOut,
+            flushOnce=True,
+        )
         extract = lambda n: (
             lambda items, last=None: [
                 item[n] for item in items if item[n] is not None

@@ -1,0 +1,274 @@
+"""Streaming runtime + temporal model graph tests."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE, needsReference
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+
+def test_stream_window_pop():
+    import jax.numpy as jnp
+
+    from moephoto_tpu.engine.stream import Stream
+
+    s = Stream(window=3)
+    for i in range(5):
+        s.put([jnp.full((2, 2), i, jnp.float32)])
+    assert s.avail() == 3
+    b = s.pop(2)  # (2, 3, 2, 2)
+    assert b.shape == (2, 3, 2, 2)
+    assert float(b[0, 0, 0, 0]) == 0 and float(b[1, 2, 0, 0]) == 3
+
+
+def test_stream_start_padding():
+    """Reference pad formula (imageProcess.py:447-459): padding=2 with 5
+    items prepends state[4], state[3]."""
+    from moephoto_tpu.engine.stream import Stream
+
+    s = Stream(window=1)
+    s.setPadding(2)
+    for i in range(5):
+        s.put([i])
+    assert s.state[:4] == [4, 3, 0, 1]
+
+
+def test_stream_graph_pipeline():
+    from moephoto_tpu.engine.stream import Stream, StreamGraph
+
+    graph = StreamGraph()
+    src = Stream(tensor=False, batchFunc=lambda x: x)
+    mid = Stream(tensor=False, batchFunc=lambda x: x)
+    out = Stream(store=False)
+    sink = []
+    out.sink = sink
+    graph.stage(lambda b, last=None: [v * 2 for v in b], [src], [mid])
+    graph.stage(lambda b, last=None: [v + 1 for v in b], [mid], [out])
+    for i in range(4):
+        src.put([i])
+        graph.run()
+    graph.run(last=True)
+    assert sink == [1, 3, 5, 7]
+
+
+def _identityDown(x):
+    return [x]
+
+
+@needsReference
+def test_estrnn_stream_graph():
+    """End-to-end ESTRNN stream on random weights: output count and
+    shape; parity of each compute stage is covered separately."""
+    from refshim import importReference
+
+    importReference()
+    import torch
+
+    cwd = os.getcwd()
+    os.chdir(REFERENCE)
+    try:
+        import ESTRNN as RE
+    finally:
+        os.chdir(cwd)
+    import jax
+    import jax.numpy as jnp
+
+    from moephoto_tpu.models import estrnn as JE
+    from moephoto_tpu.models.api import convertStateDict
+    from moephoto_tpu.progress import Node
+
+    torch.manual_seed(0)
+    cell = RE.RDBCell(RE.para)
+    gsa = RE.GSA(RE.para)
+    recons = RE.Reconstructor()
+    params = {}
+
+    def conv(mod, prefix, convT=None):
+        sd = {f"{prefix}.{k}": v.numpy() for k, v in mod.state_dict().items()}
+        return {k: jnp.asarray(v) for k, v in convertStateDict(sd, convT).items()}
+
+    params.update(conv(cell, "cell"))
+    params.update(conv(gsa, "fusion"))
+    params.update(
+        conv(recons, "recons", lambda k, s: k in ("recons.0.weight", "recons.1.weight"))
+    )
+    opt = JE.ESTRNNOpt()
+    opt.params = params
+    opt.dtype = jnp.float32
+
+    outs = []
+    f = JE.doESTRNN(lambda x: [np.asarray(x)], Node({"op": "test"}), opt)
+    n = 8
+    rng = np.random.RandomState(0)
+    frames = [rng.rand(32, 32, 3).astype(np.float32) for _ in range(n)]
+    for fr in frames:
+        outs.extend(f(jnp.asarray(fr)))
+    outs.extend(f(None))
+    assert len(outs) == n - 4  # 5-frame window, no start/end padding
+    assert outs[0].shape == (32, 32, 3)
+
+
+@needsReference
+def test_estrnn_stream_with_padding():
+    """start/end reflection padding yields one output per input frame."""
+    import jax.numpy as jnp
+    import torch
+
+    from refshim import importReference
+
+    importReference()
+    cwd = os.getcwd()
+    os.chdir(REFERENCE)
+    try:
+        import ESTRNN as RE
+    finally:
+        os.chdir(cwd)
+    from moephoto_tpu.models import estrnn as JE
+    from moephoto_tpu.models.api import convertStateDict
+    from moephoto_tpu.progress import Node
+
+    torch.manual_seed(0)
+    params = {}
+    for mod, prefix, convT in (
+        (RE.RDBCell(RE.para), "cell", None),
+        (RE.GSA(RE.para), "fusion", None),
+        (RE.Reconstructor(), "recons", lambda k, s: k in ("recons.0.weight", "recons.1.weight")),
+    ):
+        sd = {f"{prefix}.{k}": v.numpy() for k, v in mod.state_dict().items()}
+        params.update({k: jnp.asarray(v) for k, v in convertStateDict(sd, convT).items()})
+    opt = JE.ESTRNNOpt()
+    opt.params = params
+    opt.dtype = jnp.float32
+    opt.start = 2  # lookback (video.py:37: past_frames)
+    opt.end = -2
+    outs = []
+    f = JE.doESTRNN(lambda x: [np.asarray(x)], Node({"op": "test"}), opt)
+    n = 6
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        outs.extend(f(jnp.asarray(rng.rand(32, 32, 3).astype(np.float32))))
+    outs.extend(f(None))
+    assert len(outs) == n
+
+
+@needsReference
+def test_ifrnet_stream_graph():
+    from refshim import importReference
+
+    importReference()
+    import torch
+
+    cwd = os.getcwd()
+    os.chdir(REFERENCE)
+    try:
+        import IFRNet as RI
+    finally:
+        os.chdir(cwd)
+    import jax.numpy as jnp
+
+    from moephoto_tpu.models import ifrnet as JI
+    from moephoto_tpu.models.api import convertStateDict
+    from moephoto_tpu.progress import Node
+
+    torch.manual_seed(0)
+    chs = RI.Channels["S"]
+    enc = RI.IFRNetEncoder(None, chs, 1e-3)
+    dec = RI.IFRNetDecoder(None, chs, RI.SideChannels["S"], 0, 1e-3)
+    params = {}
+    for mod, prefix, convT in (
+        (enc, "encoder", None),
+        (
+            dec,
+            "decoder",
+            lambda k, s: k.startswith("decoder.decoders.") and k.endswith(".2.weight"),
+        ),
+    ):
+        sd = {f"{prefix}.{k}": v.numpy() for k, v in mod.state_dict().items()}
+        params.update({k: jnp.asarray(v) for k, v in convertStateDict(sd, convT).items()})
+
+    opt = JI.IFRNetOpt()
+    opt.params = params
+    opt.dtype = jnp.float32
+    opt.chs = chs
+    opt.side = RI.SideChannels["S"]
+    opt.sf = 2.0
+    opt.dedupe = False
+    opt.ensemble = 0
+
+    outs = []
+    f = JI.doSlomo(lambda x: [np.asarray(x)], Node({"op": "test"}), opt)
+    n = 5
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        outs.extend(f(jnp.asarray(rng.rand(24, 20, 3).astype(np.float32))))
+    outs.extend(f(None))
+    # sf=2: first frame + per pair (interp + next) = 1 + 2*(n-1)
+    assert len(outs) == 1 + 2 * (n - 1)
+    assert outs[0].shape == (24, 20, 3)
+
+
+@needsReference
+def test_iconvsr_stream_graph():
+    from refshim import importReference
+
+    importReference()
+    import torch
+
+    cwd = os.getcwd()
+    os.chdir(REFERENCE)
+    try:
+        import videoSR as RV
+    finally:
+        os.chdir(cwd)
+    import jax.numpy as jnp
+
+    from moephoto_tpu.models import iconvsr as JV
+    from moephoto_tpu.models.api import convertStateDict
+    from moephoto_tpu.progress import Node
+
+    torch.manual_seed(0)
+    mods = dict(
+        spynet=RV.SpyNet(),
+        edvr=RV.EDVRFeatureExtractor(7, 64),
+        backward_trunk=RV.ConvResidualBlocks(64 + 3, 64, 2),
+        forward_trunk=RV.ConvResidualBlocks(2 * 64 + 3, 64, 2),
+        backward_fusion=RV.newFusion(),
+        forward_fusion=RV.newFusion(),
+        upsample=RV.Upsample(),
+    )
+    params = {}
+    for prefix, mod in mods.items():
+        sd = {f"{prefix}.{k}": v.numpy() for k, v in mod.state_dict().items()}
+        params.update({k: jnp.asarray(v) for k, v in convertStateDict(sd).items()})
+
+    opt = JV.VSROpt()
+    opt.params = params
+    opt.dtype = jnp.float32
+    # video.prepare sets reflection padding at stream start (lookback=3,
+    # video.py:183-195) and end (lookahead=3, video.py:362-373)
+    opt.start = 3
+
+    # shrink the trunks for test speed: monkeypatch block count
+    import moephoto_tpu.models.iconvsr as mod_iconvsr
+
+    origTrunk = mod_iconvsr.trunkApply
+    mod_iconvsr.trunkApply = lambda p, prefix, x, numBlocks=2: origTrunk(p, prefix, x, 2)
+    try:
+        outs = []
+        f = JV.doVSR(lambda x: [np.asarray(x)], Node({"op": "test"}), opt)
+        n = 8
+        rng = np.random.RandomState(0)
+        for i in range(n):
+            outs.extend(f(jnp.asarray(rng.rand(48, 40, 3).astype(np.float32))))
+        opt.end = -3
+        outs.extend(f(None))
+    finally:
+        mod_iconvsr.trunkApply = origTrunk
+    assert len(outs) == n  # one output per input frame with full padding
+    assert outs[0].shape == (192, 160, 3)  # x4
