@@ -74,6 +74,10 @@ def planAxis(size: int, tile: int, pad: int) -> List[int]:
 
 
 def paddedExtent(size: int, tile: int, pad: int, align: int) -> int:
+    if size <= tile:
+        # single tile: pad only to alignment (matches the reference's
+        # no-tiling path, so aligned inputs see zero extra context)
+        return ceilTo(size, align)
     anchors = planAxis(size, tile, pad)
     return max(anchors[-1] + tile, ceilTo(size, align))
 
@@ -211,17 +215,11 @@ def _tiledApplyImpl(
                 ),
             )[:, :, None]
             oy, ox = int(round(y * sc)), int(round(xcoord * sc))
-            canvas = jax.lax.dynamic_update_slice(
-                canvas,
-                jax.lax.dynamic_slice(canvas, (oy, ox, 0), (oth, otw, outC))
-                + out_tiles[idx] * win,
-                (oy, ox, 0),
+            # .at[].add lowers to in-place scatter-add — no canvas copies
+            canvas = canvas.at[oy : oy + oth, ox : ox + otw, :].add(
+                out_tiles[idx] * win
             )
-            weight = jax.lax.dynamic_update_slice(
-                weight,
-                jax.lax.dynamic_slice(weight, (oy, ox, 0), (oth, otw, 1)) + win,
-                (oy, ox, 0),
-            )
+            weight = weight.at[oy : oy + oth, ox : ox + otw, :].add(win)
             idx += 1
     out = canvas / jnp.maximum(weight, 1e-8)
     return out[: int(round(h * sc)), : int(round(w * sc)), :]

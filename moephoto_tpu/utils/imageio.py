@@ -57,11 +57,17 @@ def toBuffer(image: Optional[np.ndarray], bitDepth: int = 16) -> Optional[bytes]
 
 
 def fromBuffer(buffer, height: int, width: int, bitDepth: int = 16) -> Optional[np.ndarray]:
-    """Raw frame bytes -> HWC array (``toNumPy`` :216-229); 3 channels assumed."""
+    """Raw frame bytes -> float HWC in [0, 1) (``toNumPy`` + ``toTorch``
+    fused; 3 channels assumed).  16-bit frames go through the native
+    multithreaded codec (``native/framecodec.cpp``)."""
     if not buffer:
         return None
+    if bitDepth == 16:
+        from moephoto_tpu import native
+
+        return native.u16FrameToFloat(buffer, height, width)
     arr = np.frombuffer(buffer, dtype=npDtypeFor(bitDepth))
-    return arr.reshape((height, width, 3)).astype(np.float32)
+    return arr.reshape((height, width, 3)).astype(np.float32) / (1 << bitDepth)
 
 
 BGR2RGB = lambda im: im[..., ::-1]

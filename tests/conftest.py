@@ -14,9 +14,11 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session", autouse=True)
 def _precision():
     """Parity tests compare fp32 against torch: force exact MXU passes."""
+    from moephoto_tpu.config import config
     from moephoto_tpu.models.api import setPrecision
 
     setPrecision("highest")
+    config.bf16 = False  # parity tests compare fp32 against torch
     yield
 
 

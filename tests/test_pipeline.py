@@ -1,0 +1,160 @@
+"""End-to-end step-JSON pipeline tests (genProcess image path)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import needsReference
+
+weightsExist = os.path.exists("/root/reference/model/lite/model.pth")
+
+
+@pytest.fixture()
+def ctx(tmp_path):
+    from moephoto_tpu.runtime.context import context
+
+    context.imageMode = "RGB"
+    return context
+
+
+@needsReference
+@pytest.mark.skipif(not weightsExist, reason="no checkpoints")
+def test_image_sr_chain(ctx, tmp_path):
+    """file -> SR lite x2 -> output (BASELINE config 1 shape check +
+    determinism)."""
+    from PIL import Image
+
+    from moephoto_tpu.pipeline.steps import genProcess
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(40, 32, 3) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    data = buf.getvalue()
+    ctx.sharedView = memoryview(data)
+
+    outFile = str(tmp_path / "out.png")
+    steps = [
+        {"op": "file"},
+        {"op": "SR", "model": "lite", "scale": 2},
+        {"op": "output", "file": outFile},
+    ]
+    process, nodes = genProcess(steps)
+    name = process(len(data), name=outFile)
+    out = np.array(Image.open(outFile))
+    assert out.shape == (80, 64, 3)
+
+
+@needsReference
+@pytest.mark.skipif(not weightsExist, reason="no checkpoints")
+def test_image_sr_psnr_vs_reference(ctx, tmp_path):
+    """PSNR gate vs the reference torch output (BASELINE: <=0.05 dB)."""
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+    )
+    from refshim import importReference
+
+    importReference()
+    import torch
+
+    cwd = os.getcwd()
+    os.chdir("/root/reference")
+    try:
+        from MoeNet_lite2 import Net
+    finally:
+        os.chdir(cwd)
+    from PIL import Image
+
+    from moephoto_tpu.pipeline.steps import genProcess
+
+    rng = np.random.RandomState(1)
+    img = (rng.rand(64, 48, 3) * 255).astype(np.uint8)
+    gt = img.astype(np.float32) / 255.0
+
+    # reference output: per-channel Y model on each RGB plane
+    net = Net(upscale=2)
+    net.load_state_dict(
+        torch.load("/root/reference/model/lite/model.pth", map_location="cpu", weights_only=False)
+    )
+    net.eval()
+    x = torch.from_numpy(gt.transpose(2, 0, 1)).unsqueeze(1)  # (3,1,H,W)
+    with torch.no_grad():
+        refOut = net(x)[0].squeeze(1).numpy().transpose(1, 2, 0)
+    refOut = np.clip(refOut, 0, 1)
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    data = buf.getvalue()
+    ctx.sharedView = memoryview(data)
+    outFile = str(tmp_path / "out.png")
+    steps = [
+        {"op": "file"},
+        {"op": "SR", "model": "lite", "scale": 2},
+        {"op": "output", "file": outFile},
+    ]
+    process, nodes = genProcess(steps)
+    process(len(data), name=outFile)
+    ours = np.array(Image.open(outFile)).astype(np.float32) / 255.0
+
+    mse = np.mean((ours - refOut) ** 2)
+    psnrDelta = 10 * np.log10(1.0 / max(mse, 1e-12))
+    # our output vs reference output should be ~identical (>=50 dB)
+    assert psnrDelta > 45, psnrDelta
+
+
+@needsReference
+@pytest.mark.skipif(not weightsExist, reason="no checkpoints")
+def test_chain_dn_sr_resize(ctx, tmp_path):
+    from PIL import Image
+
+    from moephoto_tpu.pipeline.steps import genProcess
+
+    rng = np.random.RandomState(2)
+    img = (rng.rand(50, 40, 3) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    data = buf.getvalue()
+    ctx.sharedView = memoryview(data)
+    outFile = str(tmp_path / "out.png")
+    steps = [
+        {"op": "file"},
+        {"op": "DN", "model": "lite5", "strength": 0.7},
+        {"op": "SR", "model": "lite", "scale": 2},
+        {"op": "resize", "scaleW": 0.5, "scaleH": 0.5},
+        {"op": "output", "file": outFile},
+    ]
+    process, nodes = genProcess(steps)
+    process(len(data), name=outFile)
+    out = np.array(Image.open(outFile))
+    assert out.shape == (50, 40, 3)
+
+
+@needsReference
+@pytest.mark.skipif(not weightsExist, reason="no checkpoints")
+def test_alpha_passthrough(ctx, tmp_path):
+    from PIL import Image
+
+    from moephoto_tpu.pipeline.steps import genProcess
+
+    rng = np.random.RandomState(3)
+    img = (rng.rand(32, 30, 4) * 255).astype(np.uint8)
+    img[..., 3] = np.minimum(img[..., 3], 254)  # keep a real alpha
+    buf = io.BytesIO()
+    Image.fromarray(img, "RGBA").save(buf, format="PNG")
+    data = buf.getvalue()
+    ctx.sharedView = memoryview(data)
+    outFile = str(tmp_path / "out.png")
+    steps = [
+        {"op": "file"},
+        {"op": "SR", "model": "lite", "scale": 2},
+        {"op": "output", "file": outFile},
+    ]
+    process, nodes = genProcess(steps)
+    process(len(data), name=outFile)
+    out = np.array(Image.open(outFile))
+    assert out.shape == (64, 60, 4)
