@@ -1,0 +1,112 @@
+"""End-to-end video pipeline test with the fake-ffmpeg harness."""
+
+import json
+import os
+import sys
+import threading
+
+import numpy as np
+import pytest
+
+from tests.conftest import needsReference
+
+TOOLS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+weightsExist = os.path.exists("/root/reference/model/lite/model.pth")
+
+
+@pytest.fixture()
+def fakeffmpeg(monkeypatch, tmp_path):
+    script = os.path.join(TOOLS, "fakeffmpeg.py")
+    os.chmod(script, 0o755)
+    from moephoto_tpu.config import config
+
+    monkeypatch.setattr(config, "ffmpegPath", sys.executable)
+
+    # engine invokes [ffmpegPath, ...args]; wrap so argv[1] is the script
+    import moephoto_tpu.video.engine as E
+
+    origPopen = E.sp.Popen
+
+    def patched(cmd, **kw):
+        if cmd and cmd[0] == sys.executable:
+            cmd = [sys.executable, script] + list(cmd[1:])
+        return origPopen(cmd, **kw)
+
+    monkeypatch.setattr(E.sp, "Popen", patched)
+    return script
+
+
+@needsReference
+@pytest.mark.skipif(not weightsExist, reason="no checkpoints")
+def test_video_sr_end_to_end(fakeffmpeg, tmp_path, monkeypatch):
+    """12 synthetic bgr48le frames -> SR lite x2 -> encoded byte count
+    must equal 12 frames at 2x geometry."""
+    monkeypatch.setenv("FAKEFF_FRAMES", "12")
+    monkeypatch.setenv("FAKEFF_SIZE", "64x48")
+    from moephoto_tpu.runtime.context import context
+    from moephoto_tpu.video.engine import SR_vid
+
+    class Flag:
+        def __init__(self):
+            self._s = False
+
+        def is_set(self):
+            return self._s
+
+        def set(self):
+            self._s = True
+
+        def clear(self):
+            self._s = False
+
+    context.stopFlag = Flag()
+    context.notifier = None
+    outFile = str(tmp_path / "out.mkv")
+    steps = [
+        {"op": "decode", "width": 64, "height": 48},
+        {"op": "range"},
+        {"op": "SR", "model": "lite", "scale": 2},
+        {"op": "output", "file": outFile, "frameRate": 10, "codec": "libx264"},
+    ]
+    path, nFrames = SR_vid("testsrc", "cmd", *steps)
+    assert nFrames == 12
+    with open(path) as fp:
+        meta = json.load(fp)
+    assert meta["s"] == "128x96"
+    assert meta["bytes"] == 12 * 128 * 96 * 6
+
+
+@needsReference
+@pytest.mark.skipif(not weightsExist, reason="no checkpoints")
+def test_video_sr_with_range(fakeffmpeg, tmp_path, monkeypatch):
+    """range.start skips decoded frames before processing."""
+    monkeypatch.setenv("FAKEFF_FRAMES", "10")
+    monkeypatch.setenv("FAKEFF_SIZE", "32x32")
+    from moephoto_tpu.runtime.context import context
+    from moephoto_tpu.video.engine import SR_vid
+
+    class Flag:
+        _s = False
+
+        def is_set(self):
+            return self._s
+
+        def set(self):
+            self._s = True
+
+        def clear(self):
+            self._s = False
+
+    context.stopFlag = Flag()
+    context.notifier = None
+    outFile = str(tmp_path / "out2.mkv")
+    steps = [
+        {"op": "decode", "width": 32, "height": 32},
+        {"op": "range", "start": 4},
+        {"op": "SR", "model": "lite", "scale": 2},
+        {"op": "output", "file": outFile, "frameRate": 10, "codec": "libx264"},
+    ]
+    path, nFrames = SR_vid("testsrc", "cmd", *steps)
+    with open(path) as fp:
+        meta = json.load(fp)
+    assert meta["bytes"] == 6 * 64 * 64 * 6  # 10 - 4 frames at 2x
