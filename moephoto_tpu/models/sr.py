@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from moephoto_tpu.models.api import (
     Params,
     conv2d,
+    getPrecision,
     globalAvgPool,
     leakyRelu,
     pixelShuffle,
@@ -100,7 +101,36 @@ def _lb(params: Params, p: str, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def makeMoeNetLite2(upscale: int = 2):
+    """MoeNet_lite2 with TPU-fused upsampling.
+
+    Everything after the first pixel shuffle in the reference is
+    pointwise (1x1 convs + PReLU + final 1x1 heads), so instead of
+    materializing spatially-interleaved tensors per stage (a strided
+    512^2 transpose that dominated profiles at ~19 ms/stage), sub-pixel
+    offsets are carried as extra channel axes (b, h, w, R, C, 48) and
+    interleaved ONCE on the 1-channel output.  Bit-identical math —
+    only the data layout of intermediates changes.
+    """
     nUps = int(upscale).bit_length() - 1
+
+    def pointwise(params: Params, key: str, x: jnp.ndarray) -> jnp.ndarray:
+        w = params[key + ".weight"][0, 0]  # (cin, cout)
+        y = jnp.dot(x, w.astype(x.dtype), precision=getPrecision(),
+                    preferred_element_type=jnp.float32)
+        b = params.get(key + ".bias")
+        if b is not None:
+            y = y + b.astype(jnp.float32)
+        return y.astype(x.dtype)
+
+    def upStage(params: Params, p: str, x: jnp.ndarray) -> jnp.ndarray:
+        # x: (b, h, w, R, C, 48) -> (b, h, w, 2R, 2C, 48)
+        b, h, w, R, C, c = x.shape
+        y = pointwise(params, p + ".0", x)  # (..., 192)
+        # torch PS channel index co*4 + a*2 + b_ -> split as (co, a, b_)
+        y = y.reshape(b, h, w, R, C, c, 2, 2)
+        y = jnp.transpose(y, (0, 1, 2, 3, 6, 4, 7, 5))  # b h w R a C b_ co
+        y = y.reshape(b, h, w, 2 * R, 2 * C, c)
+        return prelu(params, p + ".2", y)
 
     def apply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
         out = prelu(params, "relu", conv2d(params, "conv_input", x))
@@ -108,11 +138,18 @@ def makeMoeNetLite2(upscale: int = 2):
         f = _lb(params, "convt_F11", conv1)
         f = _lb(params, "convt_F12", f)
         f = _lb(params, "convt_F13", f)
-        res, im = f, out
+        b, h, w, c = f.shape
+        res = f.reshape(b, h, w, 1, 1, c)
+        im = out.reshape(b, h, w, 1, 1, c)
         for i in range(nUps):
-            res = upsampleBlockV1(params, f"ures.{i}", res)
-            im = upsampleBlockV1(params, f"uim.{i}", im)
-        return conv2d(params, "convt_R1", res) + conv2d(params, "convt_I1", im)
+            res = upStage(params, f"ures.{i}", res)
+            im = upStage(params, f"uim.{i}", im)
+        hr = pointwise(params, "convt_R1", res) + pointwise(params, "convt_I1", im)
+        # single final interleave on the 1-channel map
+        R = 1 << nUps
+        hr = hr.reshape(b, h, w, R, R)
+        hr = jnp.transpose(hr, (0, 1, 3, 2, 4))  # b h R w C
+        return hr.reshape(b, h * R, w * R, 1)
 
     return apply
 
