@@ -244,6 +244,62 @@ def reflectPad2d(x: jnp.ndarray, pads: Tuple[int, int, int, int]) -> jnp.ndarray
     return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)), mode="reflect")
 
 
+def deferredSubpixelConv(
+    wf: jnp.ndarray, x: jnp.ndarray, bias=None
+) -> jnp.ndarray:
+    """KxK (odd) conv on the *fine* grid, computed on a deferred
+    sub-pixel layout without ever materializing the interleaved image.
+
+    x:  (b, h, w, R, C, cin) representing fine[(R*i + r), (C*j + s)].
+    wf: (K, K, cin, cout) fine-grid kernel, SAME padding.
+    Returns (b, h, w, R, C, cout).
+
+    The fine conv becomes a 3x3 coarse conv over R*C*cin -> R*C*cout
+    channels whose weights scatter the original taps by phase — bigger
+    matmuls at coarse resolution, which the MXU likes far better than
+    strided pixel-shuffle transposes.
+    """
+    K = wf.shape[0]
+    p = K // 2
+    b, h, w, R, C, cin = x.shape
+    cout = wf.shape[-1]
+    # scatter the fine taps into the coarse kernel; static indices so the
+    # few-hundred tiny updates fuse into one cheap device-side assembly
+    Wc = jnp.zeros((3, 3, R, C, cin, R, C, cout), x.dtype)
+    for r in range(R):  # output sub-row
+        for dy in range(K):
+            u = r + dy - p
+            ci = u // R
+            rp = u % R
+            if not (-1 <= ci <= 1):
+                raise ValueError("kernel too large for deferred layout")
+            for s in range(C):
+                for dx in range(K):
+                    v = s + dx - p
+                    cj = v // C
+                    sp = v % C
+                    Wc = Wc.at[ci + 1, cj + 1, rp, sp, :, r, s, :].set(
+                        wf[dy, dx].astype(x.dtype)
+                    )
+    Wc = Wc.reshape(3, 3, R * C * cin, R * C * cout)
+    xi = x.reshape(b, h, w, R * C * cin)
+    dn = jax.lax.conv_dimension_numbers(xi.shape, Wc.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        xi, Wc, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
+        precision=_precision[0], preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        y = y + jnp.tile(bias.astype(jnp.float32), R * C)
+    return y.astype(x.dtype).reshape(b, h, w, R, C, cout)
+
+
+def interleaveDeferred(x: jnp.ndarray) -> jnp.ndarray:
+    """(b, h, w, R, C, c) deferred layout -> (b, h*R, w*C, c)."""
+    b, h, w, R, C, c = x.shape
+    y = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return y.reshape(b, h * R, w * C, c)
+
+
 # --------------------------------------------------------------------------
 # Weight conversion
 # --------------------------------------------------------------------------

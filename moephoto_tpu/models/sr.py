@@ -8,13 +8,16 @@ Reference definitions: ``python/models.py:108-223`` and
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from moephoto_tpu.models.api import (
     Params,
     conv2d,
+    deferredSubpixelConv,
     getPrecision,
     globalAvgPool,
+    interleaveDeferred,
     leakyRelu,
     pixelShuffle,
     prelu,
@@ -34,12 +37,58 @@ def _mynetTrunk(params: Params, x: jnp.ndarray, nBlocks: int = 6):
     return out, f
 
 
-def _upPath(params: Params, prefix: str, x: jnp.ndarray, nUps: int, r: int) -> jnp.ndarray:
-    """Sequential of ``nUps`` upsample blocks then a 3x3 conv to 1 channel
-    (the ``u``/``convt_R1`` paths of Net2x/3x/4x, models.py:125-154)."""
+def _permutePSWeight(w: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Reorder conv output channels from torch pixel-shuffle order
+    (co*r^2 + a*r + b) to deferred sub-pixel order (a, b, co)."""
+    kh, kw, cin, ctot = w.shape
+    co = ctot // (r * r)
+    wp = w.reshape(kh, kw, cin, co, r, r)
+    return jnp.transpose(wp, (0, 1, 2, 4, 5, 3)).reshape(kh, kw, cin, ctot)
+
+
+def _permutePSBias(b: jnp.ndarray, r: int) -> jnp.ndarray:
+    co = b.shape[0] // (r * r)
+    return jnp.transpose(b.reshape(co, r, r), (1, 2, 0)).reshape(-1)
+
+
+def _upPathDeferred(params: Params, prefix: str, x: jnp.ndarray, nUps: int, r: int) -> jnp.ndarray:
+    """The ``u``/``convt_R1`` upsample paths of Net2x/3x/4x
+    (models.py:125-154) computed entirely in the deferred sub-pixel
+    layout — no pixel-shuffle interleaves until the caller's final
+    1-channel assembly.  Returns (b, h, w, R, C, 1)."""
+    b, h, w, c = x.shape
+    cur = x.reshape(b, h, w, 1, 1, c)
+    R = 1
     for i in range(nUps):
-        x = upsampleBlock(params, f"{prefix}.{i}", x, r)
-    return conv2d(params, f"{prefix}.{nUps}", x, padding=1)
+        key = f"{prefix}.{i}.0"
+        wp = _permutePSWeight(params[key + ".weight"], r).astype(cur.dtype)
+        bp = _permutePSBias(params[key + ".bias"], r)
+        if R == 1:
+            xi = cur.reshape(b, h, w, -1)
+            dn = jax.lax.conv_dimension_numbers(
+                xi.shape, wp.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            y = jax.lax.conv_general_dilated(
+                xi, wp, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
+                precision=getPrecision(), preferred_element_type=jnp.float32,
+            )
+            y = (y + bp.astype(jnp.float32)).astype(cur.dtype)
+            co = y.shape[-1] // (r * r)
+            y = y.reshape(b, h, w, r, r, co)
+        else:
+            y = deferredSubpixelConv(wp, cur, bp)  # (b,h,w,R,C, r*r*co)
+            co = y.shape[-1] // (r * r)
+            y = y.reshape(b, h, w, R, R, r, r, co)
+            y = jnp.transpose(y, (0, 1, 2, 3, 5, 4, 6, 7))  # (R, a) (C, b)
+            y = y.reshape(b, h, w, R * r, R * r, co)
+        R *= r
+        cur = prelu(params, f"{prefix}.{i}.2", y)
+    wf = params[f"{prefix}.{nUps}.weight"].astype(cur.dtype)
+    if R == 1:
+        return conv2d(params, f"{prefix}.{nUps}", cur.reshape(b, h, w, -1), padding=1)[
+            :, :, :, None, None, :
+        ]
+    return deferredSubpixelConv(wf, cur)
 
 
 def makeMyNetSR(scale: int):
@@ -47,9 +96,9 @@ def makeMyNetSR(scale: int):
 
     def apply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
         out, f = _mynetTrunk(params, x)
-        u = _upPath(params, "u", out, nUps, r)
-        res = _upPath(params, "convt_R1", f, nUps, r)
-        return u + res
+        u = _upPathDeferred(params, "u", out, nUps, r)
+        res = _upPathDeferred(params, "convt_R1", f, nUps, r)
+        return interleaveDeferred(u + res)
 
     return apply
 

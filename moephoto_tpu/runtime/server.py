@@ -450,6 +450,8 @@ def app(req: Request):
             resp = res
         else:
             body, code = toResponse(res) if not isinstance(res, tuple) else res
+            if isinstance(body, (dict, list)):  # flask-style auto-JSON
+                body = json.dumps(body, ensure_ascii=False, separators=(",", ":"))
             resp = Response(body, status=code, mimetype="application/json")
         session = req.cookies.get("session")
         t = time.time()

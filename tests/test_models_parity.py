@@ -237,3 +237,29 @@ def test_moire_screen_gan_arch(ref):
     # 0-dof variance (NaN) in the reference itself — hence its align=512
     x = np.random.RandomState(0).rand(1, 3, 512, 512).astype(np.float32)
     assert runPair(torch, net, moireScreenGan, x) < TOL
+
+
+@needsReference
+def test_net4x_deferred_arch(ref):
+    torch = ref
+    torch.manual_seed(0)
+    from models import Net4x
+
+    from moephoto_tpu.models.sr import net4x
+
+    net = Net4x()
+    x = np.random.RandomState(0).rand(1, 1, 40, 32).astype(np.float32)
+    assert runPair(torch, net, net4x, x) < TOL
+
+
+@needsReference
+def test_net3x_deferred_arch(ref):
+    torch = ref
+    torch.manual_seed(0)
+    from models import Net3x
+
+    from moephoto_tpu.models.sr import net3x
+
+    net = Net3x()
+    x = np.random.RandomState(0).rand(1, 1, 40, 32).astype(np.float32)
+    assert runPair(torch, net, net3x, x) < TOL

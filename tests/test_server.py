@@ -1,0 +1,149 @@
+"""HTTP endpoint tests (werkzeug test client, stubbed worker pipes)."""
+
+import io
+import json
+import threading
+
+import numpy as np
+import pytest
+
+
+class FakePipe:
+    """One end of a worker pipe pair."""
+
+    def __init__(self):
+        self.items = []
+        self.cv = threading.Condition()
+
+    def send(self, item):
+        with self.cv:
+            self.items.append(item)
+            self.cv.notify_all()
+
+    def poll(self, timeout=0):
+        with self.cv:
+            if not self.items:
+                self.cv.wait(timeout or 0)
+            return bool(self.items)
+
+    def recv(self):
+        with self.cv:
+            return self.items.pop(0)
+
+
+class FakeEvent:
+    def __init__(self):
+        self._s = False
+
+    def is_set(self):
+        return self._s
+
+    def set(self):
+        self._s = True
+
+    def clear(self):
+        self._s = False
+
+
+@pytest.fixture()
+def client(monkeypatch):
+    import moephoto_tpu.runtime.server as S
+
+    sender = FakePipe()
+    receiver = FakePipe()
+    noter = FakePipe()
+
+    import mmap
+
+    class FakeSHM:
+        """SharedMemory stand-in: anonymous mmap (buf.obj seek/write
+        like the real thing)."""
+
+        def __init__(self, size=1 << 20):
+            self.buf = memoryview(mmap.mmap(-1, size))
+
+    mm = FakeSHM()
+
+    # echo worker: replies with a canned success for any task
+    def workerThread():
+        while True:
+            if sender.poll(0.05):
+                task = sender.recv()
+                receiver.send(({"result": "ok", "task": task[0]}, 200))
+
+    t = threading.Thread(target=workerThread, daemon=True)
+    t.start()
+
+    run = S.runserver(sender, receiver, noter, FakeEvent(), mm, False)
+    from werkzeug.test import Client
+
+    S.current.session = None
+    S.current.key = None
+    return Client(S.app), S, noter
+
+
+def test_page_root(client):
+    c, S, _ = client
+    resp = c.get("/")
+    assert resp.status_code in (200, 404)  # 200 when frontend mounted
+
+
+def test_system_info(client):
+    c, S, _ = client
+    resp = c.post("/systemInfo", data={"session": "s1"})
+    assert resp.status_code == 200
+    body = json.loads(resp.get_data())
+    assert body["result"] == "ok"
+
+
+def test_session_gate_busy(client):
+    c, S, _ = client
+    S.current.session = "other"
+    try:
+        resp = c.post("/systemInfo", data={"session": "s2"})
+        assert resp.status_code == 503
+    finally:
+        S.current.session = None
+        S.current.key = None
+
+
+def test_image_enhance_roundtrip(client, tmp_path):
+    c, S, _ = client
+    from PIL import Image
+
+    img = (np.random.RandomState(0).rand(8, 8, 3) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    buf.seek(0)
+    resp = c.post(
+        "/image_enhance",
+        data={
+            "session": "s3",
+            "steps": json.dumps([{"op": "SR", "model": "lite", "scale": 2}]),
+            "file": (buf, "test.png"),
+        },
+    )
+    assert resp.status_code == 200
+    body = json.loads(resp.get_data())
+    assert body["result"] == "ok"
+
+
+def test_stop_endpoint(client):
+    c, S, _ = client
+    resp = c.post("/stop", data={"session": "sX"})
+    # no current session -> 404 per the control point table
+    assert resp.status_code == 404
+
+
+def test_preset_endpoint(client):
+    c, S, _ = client
+    resp = c.get("/preset", query_string={"path": "video"})
+    assert resp.status_code == 200
+    data = json.loads(resp.get_data())
+    assert isinstance(data, list)
+
+
+def test_preset_rejects_bad_path(client):
+    c, S, _ = client
+    resp = c.get("/preset", query_string={"path": "../etc"})
+    assert resp.status_code == 403
