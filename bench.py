@@ -27,14 +27,13 @@ def benchTPU():
 
     from moephoto_tpu.engine.executor import ModelExec
     from moephoto_tpu.engine.tiling import TileSpec
+    from moephoto_tpu.models.api import packBlockDiag
     from moephoto_tpu.models.sr import moeNetLite2x4
     from __graft_entry__ import _lite2Params
 
     params = _lite2Params(4)
     spec = TileSpec(tile=256, pad=5, align=8, scale=4.0, batch=4)
-    ex = ModelExec(
-        moeNetLite2x4, params, spec, channelSplit=True, name="lite4", outC=None
-    )
+    ex = ModelExec(moeNetLite2x4, params, spec, channelSplit=True, name="lite4")
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
     # NOTE: on the tunneled axon platform block_until_ready returns

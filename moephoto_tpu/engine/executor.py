@@ -68,6 +68,7 @@ class ModelExec:
         ensemble: int = 0,
         dtype=None,
         name: str = "",
+        pack: int = 0,
     ):
         self.apply = apply
         self.params = params
@@ -79,6 +80,12 @@ class ModelExec:
         self.ensemble = int(ensemble)
         self.dtype = dtype or config.dtype()
         self.name = name
+        # pack > 0: Y-channel model executed plane-packed — ``pack``
+        # planes ride the channel axis against block-diagonal weights
+        # (params must already be packBlockDiag(params, pack)).  pack=2
+        # puts 96 channels in one 128-lane MXU block: ~2x over
+        # plane-batched execution at 48 channels.
+        self.pack = int(pack)
         self._jitCache: Dict = {}
 
     @property
@@ -86,6 +93,22 @@ class ModelExec:
         return self.spec.scale
 
     def _tileFn(self, params):
+        if self.pack:
+            p = self.pack
+
+            def f(t):
+                b, th, tw, c = t.shape
+                n = b * c
+                assert n % p == 0, (b, c, p)
+                planes = jnp.transpose(t, (0, 3, 1, 2)).reshape(n // p, p, th, tw)
+                planes = jnp.transpose(planes, (0, 2, 3, 1))
+                out = self.apply(params, planes)
+                ob, oh, ow, oc = out.shape
+                assert oc == p
+                out = jnp.transpose(out, (0, 3, 1, 2)).reshape(b, c, oh, ow)
+                return jnp.transpose(out, (0, 2, 3, 1))
+
+            return f
         if not self.channelSplit:
             return lambda t: self.apply(params, t)
 

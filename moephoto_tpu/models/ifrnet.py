@@ -286,6 +286,15 @@ def getOpt(option: dict) -> IFRNetOpt:
     opt.dedupeLow = float(option.get("low", 0.5))
     opt.dedupeHigh = float(option.get("high", 0.993))
     opt.ensemble = int(option.get("ensemble", 0))
+    if opt.ensemble:
+        # flow-only decoder self-ensemble (reference IFRNet.py:113-128)
+        # is not yet implemented TPU-side; fall back to the plain path
+        import logging
+
+        logging.getLogger("Moe").warning(
+            "IFRNet flow ensemble not yet supported on TPU; using ensemble=0"
+        )
+        opt.ensemble = 0
     import torch
 
     raw = torch.load(

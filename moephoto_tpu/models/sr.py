@@ -194,11 +194,8 @@ def makeMoeNetLite2(upscale: int = 2):
             res = upStage(params, f"ures.{i}", res)
             im = upStage(params, f"uim.{i}", im)
         hr = pointwise(params, "convt_R1", res) + pointwise(params, "convt_I1", im)
-        # single final interleave on the 1-channel map
-        R = 1 << nUps
-        hr = hr.reshape(b, h, w, R, R)
-        hr = jnp.transpose(hr, (0, 1, 3, 2, 4))  # b h R w C
-        return hr.reshape(b, h * R, w * R, 1)
+        # single final interleave on the (1- or pack-) channel map
+        return interleaveDeferred(hr)
 
     return apply
 

@@ -46,9 +46,14 @@ def ailutTransform(
         # im: (H, W, 3); vt: (3, D); lt: (C, D, D, D)
         def channelBin(v, val):
             # lower_bound semantics (cuda kernel :34-53): first idx with
-            # v[idx] >= val, minus one, clamped to [0, D-2]
-            idx = jnp.searchsorted(v, val, side="left")
-            return jnp.clip(idx - 1, 0, D - 2)
+            # v[idx] >= val, minus one, clamped to [0, D-2].  Computed as
+            # a vectorized comparison count — jnp.searchsorted lowers to
+            # a serial binary search on TPU (~300x slower here).
+            flat = val.reshape(-1)
+            cnt = jnp.sum(
+                (v[:, None] < flat[None, :]).astype(jnp.int32), axis=0
+            ).reshape(val.shape)
+            return jnp.clip(cnt - 1, 0, D - 2)
 
         r, g, b = im[..., 0], im[..., 1], im[..., 2]
         rid = channelBin(vt[0], r)
@@ -91,5 +96,8 @@ def ailutTransform(
         )  # (C, H, W)
         return jnp.transpose(out, (1, 2, 0))
 
-    out = jax.vmap(perImage)(imgf, vert, lut)
+    # batch via a static Python loop (B is 1 per retouch call): vmap of
+    # fancy-index gathers lowers to a much slower batched-gather on TPU
+    outs = [perImage(imgf[b], vert[b], lut[b]) for b in range(B)]
+    out = jnp.stack(outs)
     return out.astype(img.dtype)

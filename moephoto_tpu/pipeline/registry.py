@@ -73,9 +73,14 @@ def _lazyImport(family: str):
 
 
 def _entry(family, fn, path, spec, channelSplit=False, outC=None, prepare=None,
-           convT=None, fp32=False, noTile=False):
+           convT=None, fp32=False, noTile=False, packed=False):
+    # packed: Y-channel model executed plane-packed (pack=2 block-diagonal
+    # weights) — ~2.3x for conv-heavy trunks (netDN), ~1.35x for MyNet;
+    # the lite family is elementwise-bound after the deferred-subpixel
+    # rewrite and stays plane-batched (measured slightly faster).
     return dict(family=family, fn=fn, path=path, spec=spec, channelSplit=channelSplit,
-                outC=outC, prepare=prepare, convT=convT, fp32=fp32, noTile=noTile)
+                outC=outC, prepare=prepare, convT=convT, fp32=fp32, noTile=noTile,
+                packed=packed)
 
 
 def _normalize05(x):
@@ -84,18 +89,20 @@ def _normalize05(x):
     return (x - 0.5) / 0.5
 
 
+_entry_packed = lambda *a, **k: _entry(*a, **{**k, "packed": True})
+
 # --- SR registry (runSR.py:10-24) -----------------------------------------
 _SPEC_Y_SR = lambda sc: TileSpec(tile=256, pad=9 if sc == 3 else 5, align=8, scale=sc, batch=8 if sc <= 2 else 4)
 _SPEC_GAN = lambda sc: TileSpec(tile=192, pad=8, align=4, scale=sc, batch=4)
 _SPEC_LITE = lambda sc: TileSpec(tile=256, pad=5, align=8, scale=sc, batch=8 if sc <= 2 else (4 if sc <= 4 else 2))
 
 SR_REGISTRY = {
-    "a2": _entry("sr", "net2x", "model/a2/model_new.pth", _SPEC_Y_SR(2), channelSplit=True),
-    "a3": _entry("sr", "net3x", "model/a3/model_new.pth", _SPEC_Y_SR(3), channelSplit=True),
-    "a4": _entry("sr", "net4x", "model/a4/model_new.pth", _SPEC_Y_SR(4), channelSplit=True),
-    "p2": _entry("sr", "net2x", "model/p2/model_new.pth", _SPEC_Y_SR(2), channelSplit=True),
-    "p3": _entry("sr", "net3x", "model/p3/model_new.pth", _SPEC_Y_SR(3), channelSplit=True),
-    "p4": _entry("sr", "net4x", "model/p4/model_new.pth", _SPEC_Y_SR(4), channelSplit=True),
+    "a2": _entry_packed("sr", "net2x", "model/a2/model_new.pth", _SPEC_Y_SR(2), channelSplit=True),
+    "a3": _entry_packed("sr", "net3x", "model/a3/model_new.pth", _SPEC_Y_SR(3), channelSplit=True),
+    "a4": _entry_packed("sr", "net4x", "model/a4/model_new.pth", _SPEC_Y_SR(4), channelSplit=True),
+    "p2": _entry_packed("sr", "net2x", "model/p2/model_new.pth", _SPEC_Y_SR(2), channelSplit=True),
+    "p3": _entry_packed("sr", "net3x", "model/p3/model_new.pth", _SPEC_Y_SR(3), channelSplit=True),
+    "p4": _entry_packed("sr", "net4x", "model/p4/model_new.pth", _SPEC_Y_SR(4), channelSplit=True),
     "gan2": _entry("restore", "rrdbNetX2", "model/gan/RealESRGAN_x2plus.pth", _SPEC_GAN(2)),
     "gan4": _entry("restore", "rrdbNetX4", "model/gan/RealESRGAN_x4plus.pth", _SPEC_GAN(4)),
     "gana4": _entry("restore", "rrdbNetX4Anime", "model/gan/RealESRGAN_x4plus_anime_6B.pth", _SPEC_GAN(4)),
@@ -106,12 +113,12 @@ SR_REGISTRY = {
 
 # --- DN registry (runDN.py:10-21) -----------------------------------------
 DN_REGISTRY = {
-    "15": _entry("sr", "sedn", "model/l15/model_new.pth", TileSpec(256, 7, 8, 1.0, 8), channelSplit=True),
-    "25": _entry("sr", "sedn", "model/l25/model_new.pth", TileSpec(256, 7, 8, 1.0, 8), channelSplit=True),
-    "50": _entry("sr", "sedn", "model/l50/model_new.pth", TileSpec(256, 7, 8, 1.0, 8), channelSplit=True),
-    "lite5": _entry("sr", "netDN", "model/dn_lite5/model_new.pth", TileSpec(256, 7, 8, 1.0, 8), channelSplit=True),
-    "lite10": _entry("sr", "netDN", "model/dn_lite10/model_new.pth", TileSpec(256, 7, 8, 1.0, 8), channelSplit=True),
-    "lite15": _entry("sr", "netDN", "model/dn_lite15/model_new.pth", TileSpec(256, 7, 8, 1.0, 8), channelSplit=True),
+    "15": _entry_packed("sr", "sedn", "model/l15/model_new.pth", TileSpec(256, 7, 8, 1.0, 8), channelSplit=True),
+    "25": _entry_packed("sr", "sedn", "model/l25/model_new.pth", TileSpec(256, 7, 8, 1.0, 8), channelSplit=True),
+    "50": _entry_packed("sr", "sedn", "model/l50/model_new.pth", TileSpec(256, 7, 8, 1.0, 8), channelSplit=True),
+    "lite5": _entry_packed("sr", "netDN", "model/dn_lite5/model_new.pth", TileSpec(256, 7, 8, 1.0, 8), channelSplit=True),
+    "lite10": _entry_packed("sr", "netDN", "model/dn_lite10/model_new.pth", TileSpec(256, 7, 8, 1.0, 8), channelSplit=True),
+    "lite15": _entry_packed("sr", "netDN", "model/dn_lite15/model_new.pth", TileSpec(256, 7, 8, 1.0, 8), channelSplit=True),
     "MPRNet_denoising": _entry("mprnet", "mprNetDenoise", "model/MPRNet/model_denoising.pth", TileSpec(256, 8, 8, 1.0, 2)),
     "NAFNet_32": _entry("nafnet", "nafNetSIDD32", "model/NAFNet/NAFNet-SIDD-width32.pth", TileSpec(256, 16, 16, 1.0, 4)),
     "NAFNet_64": _entry("nafnet", "nafNetSIDD64", "model/NAFNet/NAFNet-SIDD-width64.pth", TileSpec(256, 16, 16, 1.0, 2)),
@@ -160,15 +167,21 @@ def buildExec(entry: dict, strength: float = 1.0, ensemble: int = 0,
     mod = _lazyImport(entry["family"])
     fn = getattr(mod, entry["fn"])
     dtype = jnp.float32 if entry["fp32"] else config.dtype()
-    if key not in _paramsCache:
+    packed = entry.get("packed", False)
+    pKey = key + ("|packed" if packed else "")
+    if pKey not in _paramsCache:
         path = modelPath(entry["path"])
         log.info("loading model %s", path)
-        _paramsCache[key] = M.loadTorchWeights(path, entry["convT"], dtype=dtype)
+        params = M.loadTorchWeights(path, entry["convT"], dtype=dtype)
+        if packed:
+            params = M.packBlockDiag(params, 2)
+        _paramsCache[pKey] = params
     ex = ModelExec(
         fn,
-        _paramsCache[key],
+        _paramsCache[pKey],
         entry["spec"],
-        channelSplit=entry["channelSplit"],
+        channelSplit=entry["channelSplit"] and not packed,
+        pack=2 if packed else 0,
         outC=entry["outC"],
         prepare=entry["prepare"],
         strength=strength,

@@ -87,14 +87,14 @@ def enhance(f, verbose=True):
 
 
 def clean():
-    """Free cached device buffers between tasks (the analog of
-    ``torch.cuda.empty_cache``; live params stay resident)."""
-    try:
-        import jax
+    """Between-task device cleanup (the analog of
+    ``torch.cuda.empty_cache``, reference worker.py:71-72).  JAX device
+    buffers are freed by GC when the last reference drops; compiled
+    executables are deliberately kept (recompiling them costs seconds).
+    A gc pass promptly releases the previous task's intermediates."""
+    import gc
 
-        jax.clear_caches() if False else None  # keep compiled fns; buffers are GC-managed
-    except Exception:
-        pass
+    gc.collect()
 
 
 def worker(main, taskIn, taskOut, notifier, stopEvent, isWindows):
