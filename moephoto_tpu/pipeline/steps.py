@@ -185,6 +185,26 @@ def toFloatHost(im) -> np.ndarray:
     return np.asarray(im, dtype=np.float32)
 
 
+def _writePreview(im):
+    """Write a preview JPEG of the current frame into the shared-memory
+    exchange and notify the client (reference ``fPreview/funcPreview``
+    procedure.py:36-44): restrict to 2048px, 8-bit, RGB order."""
+    if config.videoPreview and context.shared is not None and context.root is not None:
+        try:
+            small = restrictSize(2048)(im)
+            arr = imageio.toOutput(np.asarray(small, dtype=np.float32), 8)
+            context.shared.seek(0)
+            imageio.writeFile(arr, context.shared, context, config.videoPreview)
+            context.root.trace(
+                0,
+                preview="{}/.preview.{}".format(config.outDir, config.videoPreview),
+                fileSize=context.shared.tell(),
+            )
+        except Exception:
+            pass
+    return im
+
+
 def procOutput(opt, out, *_):
     load = out["load"]
     bitDepthOut = out["bitDepth"]
@@ -194,6 +214,7 @@ def procOutput(opt, out, *_):
     fs = [NonNullWrap(node0.bindFunc(toFloatHost)), NonNullWrap(fOutput)]
     ns = [node0, node1]
     if out["source"]:  # video: emit raw buffers for the encode pipe
+        incomingBGR = bool(out["channel"])
         fTrace = lambda x: context.root.trace(1 / out["sf"]) or x
         fs1 = [node0.bindFunc(toFloatHost), fOutput]
         if not out["channel"]:
@@ -207,7 +228,18 @@ def procOutput(opt, out, *_):
                 False,
             )
         )
-        o = lambda im: [reduce(applyNonNull, fs1, im)]
+        state = {"i": 0}
+
+        def o(im):
+            res = reduce(applyNonNull, fs1, im)
+            if im is not None and state["i"] % 30 == 0:
+                # preview wants RGB; the frame is BGR iff no model
+                # converted it upstream
+                rgb = im[..., ::-1] if incomingBGR else im
+                _writePreview(rgb)
+            state["i"] += 1
+            return [res]
+
         fs = [o, fTrace]
     return fs, ns, out
 

@@ -256,6 +256,30 @@ def renderPage(template, **context):
     return _jinjaEnv.get_template(template).render(**context)
 
 
+ndoc = (
+    '<a href="{dirName}/{image}" class="w3effct-agile"><img src="{dirName}/{image}"'
+    ' alt="" class="img-responsive" title="Solar Panels Image" />'
+    '<div class="agile-figcap"><h4>相册</h4><p>图片{image}</p></div></a>'
+)
+
+
+def gallery(req):
+    """Downloads gallery page body (reference server.py:195-206)."""
+    dirName = req.values.get("dir", outDir)
+    items = tryFunc(os.listdir, dirName) or []
+    images = [
+        i for i in items
+        if i.split(".")[-1] in {"png", "jpg", "jpeg", "webp", "bmp", "gif"}
+    ]
+    doc = []
+    tags = [ndoc.format(image=image, dirName=dirName) for image in images]
+    for i in range((len(tags) - 1) // 3 + 1):
+        doc.append('<div class="col-sm-4 col-xs-4 w3gallery-grids">')
+        doc.extend(tags[i * 3 : (i + 1) * 3])
+        doc.append("</div>")
+    return ("".join(doc) if doc else "暂时没有图片，快去尝试放大吧",)
+
+
 def getSystemInfo(info):
     import psutil
 
@@ -302,6 +326,7 @@ def buildPages():
         ("/system", "system.html", None, getDynamicInfo,
          ["disk_free", "mem_free", "session", "path"], getSystemInfo(dVer)),
         ("/lock", "lock.html", None, None, None, dVer),
+        ("/gallery", "gallery.html", None, gallery, ["var"], dVer),
     ]
     for pathRoute, template, active, func, names, other in pages:
         h = re.sub(">" + active, 'class="active">' + active, header) if active else header
