@@ -1,0 +1,184 @@
+"""Custom-op correctness: adaptive LUT, bilinear warp, deformable conv."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+
+def test_ailut_matches_cuda_algorithm():
+    """Exact vs a direct numpy transcription of the reference CUDA
+    kernel math (ailut_transform_cuda.cu:88-159)."""
+    import jax.numpy as jnp
+
+    from moephoto_tpu.ops.lut import ailutTransform
+
+    rng = np.random.RandomState(0)
+    H, W, D = 17, 13, 9
+    img = rng.rand(1, H, W, 3).astype(np.float32)
+    lut = rng.rand(1, 3, D, D, D).astype(np.float32)
+    vert = np.sort(rng.rand(1, 3, D).astype(np.float32), axis=-1)
+
+    out = np.asarray(ailutTransform(jnp.asarray(img), jnp.asarray(lut), jnp.asarray(vert)))
+
+    eps = 1e-10
+    ref = np.zeros_like(img)
+    for y in range(H):
+        for x in range(W):
+            ids, ws = [], []
+            for c in range(3):
+                val = img[0, y, x, c]
+                v = vert[0, c]
+                idx = np.searchsorted(v, val, side="left")
+                i0 = min(max(idx - 1, 0), D - 2)
+                ids.append(i0)
+                ws.append((val - v[i0]) / (v[i0 + 1] - v[i0] + eps))
+            rid, gid, bid = ids
+            rd, gd, bd = ws
+            for c in range(3):
+                L = lut[0, c]
+                acc = 0.0
+                for db in (0, 1):
+                    for dg in (0, 1):
+                        for dr in (0, 1):
+                            w = (
+                                (rd if dr else 1 - rd)
+                                * (gd if dg else 1 - gd)
+                                * (bd if db else 1 - bd)
+                            )
+                            acc += w * L[bid + db, gid + dg, rid + dr]
+                ref[0, y, x, c] = acc
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_backwarp_zero_flow_identity():
+    import jax.numpy as jnp
+
+    from moephoto_tpu.ops.warp import backWarp
+
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.rand(1, 12, 16, 4).astype(np.float32))
+    flow = jnp.zeros((1, 12, 16, 2), jnp.float32)
+    out = np.asarray(backWarp(img, flow))
+    # the reference normalization has a W/(W-1) quirk: zero flow maps
+    # pixel x to x*(W-1)/W — not identity.  Check against the formula.
+    xs = np.arange(16) * 15.0 / 16.0
+    ys = np.arange(12) * 11.0 / 12.0
+    x0 = np.floor(xs).astype(int)
+    wx = xs - x0
+    ref = np.asarray(img)
+    interpX = ref[:, :, x0] * (1 - wx)[None, None, :, None] + ref[
+        :, :, np.minimum(x0 + 1, 15)
+    ] * wx[None, None, :, None]
+    y0 = np.floor(ys).astype(int)
+    wy = ys - y0
+    interp = interpX[:, y0] * (1 - wy)[None, :, None, None] + interpX[
+        :, np.minimum(y0 + 1, 11)
+    ] * wy[None, :, None, None]
+    np.testing.assert_allclose(out, interp, atol=1e-5)
+
+
+def test_warp_exact_shift():
+    """IFRNet-style exact-pixel warp: integer flow == array roll."""
+    import jax.numpy as jnp
+
+    from moephoto_tpu.models.ifrnet import warpExact
+
+    rng = np.random.RandomState(2)
+    img = jnp.asarray(rng.rand(1, 8, 10, 3).astype(np.float32))
+    flow = jnp.full((1, 8, 10, 2), 0.0, jnp.float32).at[..., 0].set(2.0)
+    out = np.asarray(warpExact(img, flow))
+    ref = np.asarray(img)
+    np.testing.assert_allclose(out[0, :, :7], ref[0, :, 2:9], atol=1e-6)
+
+
+def test_deform_conv_matches_shim():
+    from tests.conftest import hasReference
+
+    if not hasReference():
+        pytest.skip("no reference")
+    from refshim import installStubs
+
+    installStubs()
+    import jax.numpy as jnp
+    import torch
+    from torchvision.ops import deform_conv2d
+
+    from moephoto_tpu.ops.deform import deformConv2d
+
+    rng = np.random.RandomState(0)
+    B, H, W, Cin, Cout, dg = 1, 10, 8, 8, 8, 2
+    x = rng.rand(B, Cin, H, W).astype(np.float32)
+    off = (rng.rand(B, 2 * dg * 9, H, W).astype(np.float32) - 0.5) * 3
+    mask = rng.rand(B, dg * 9, H, W).astype(np.float32)
+    wgt = rng.rand(Cout, Cin, 3, 3).astype(np.float32) * 0.1
+    bias = rng.rand(Cout).astype(np.float32)
+    ref = deform_conv2d(
+        torch.from_numpy(x), torch.from_numpy(off), torch.from_numpy(wgt),
+        torch.from_numpy(bias), stride=(1, 1), padding=(1, 1), dilation=(1, 1),
+        mask=torch.from_numpy(mask),
+    ).numpy()
+    out = deformConv2d(
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(off.transpose(0, 2, 3, 1)),
+        jnp.asarray(mask.transpose(0, 2, 3, 1)),
+        jnp.asarray(wgt.transpose(2, 3, 1, 0)),
+        jnp.asarray(bias),
+        dg,
+    )
+    out = np.asarray(out).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_deferred_subpixel_conv():
+    """deferredSubpixelConv(fine conv) == conv on the interleaved image."""
+    import jax
+    import jax.numpy as jnp
+
+    from moephoto_tpu.models.api import deferredSubpixelConv, interleaveDeferred
+
+    rng = np.random.RandomState(3)
+    b, h, w, R, C, cin, cout = 1, 6, 5, 2, 2, 4, 3
+    x = jnp.asarray(rng.rand(b, h, w, R, C, cin).astype(np.float32))
+    wf = jnp.asarray(rng.rand(3, 3, cin, cout).astype(np.float32))
+    out = deferredSubpixelConv(wf, x)
+    outImg = np.asarray(interleaveDeferred(out))
+
+    fine = np.asarray(interleaveDeferred(x))  # (b, h*R, w*C, cin)
+    dn = jax.lax.conv_dimension_numbers(fine.shape, wf.shape, ("NHWC", "HWIO", "NHWC"))
+    ref = np.asarray(
+        jax.lax.conv_general_dilated(
+            jnp.asarray(fine), wf, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn
+        )
+    )
+    np.testing.assert_allclose(outImg, ref, atol=1e-5)
+
+
+def test_pack_block_diag_parity():
+    """Plane-packed execution equals plane-batched execution."""
+    from tests.conftest import hasReference
+
+    if not hasReference() or not os.path.exists("/root/reference/model/lite/model.pth"):
+        pytest.skip("no checkpoints")
+    import jax
+    import jax.numpy as jnp
+
+    from moephoto_tpu.engine.executor import ModelExec
+    from moephoto_tpu.engine.tiling import TileSpec
+    from moephoto_tpu.models.api import loadTorchWeights, packBlockDiag
+    from moephoto_tpu.models.sr import netDN
+
+    params = loadTorchWeights("/root/reference/model/dn_lite5/model_new.pth")
+    spec = TileSpec(tile=64, pad=7, align=8, scale=1.0, batch=4)
+    exSplit = ModelExec(netDN, params, spec, channelSplit=True, dtype=jnp.float32)
+    exPack = ModelExec(netDN, packBlockDiag(params, 2), spec, pack=2, dtype=jnp.float32)
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(80, 70, 3).astype(np.float32))
+    a = np.asarray(exSplit(x))
+    b = np.asarray(exPack(x))
+    np.testing.assert_allclose(a, b, atol=1e-5)
