@@ -155,8 +155,26 @@ DEHAZE_REGISTRY = {
 }
 
 
+def _applyConfigSpec(entry: dict, kind: str) -> "TileSpec":
+    """Apply user tile-size caps (reference ``cropsize`` semantics:
+    ``config.py:43-44`` crop_sr/crop_dn/crop_dns + our tileSize/tileBatch
+    knobs) to the entry's static spec."""
+    from dataclasses import replace
+
+    spec = entry["spec"]
+    caps = dict(zip(("sr", "dn", "dns"), config.getConfig()))
+    cap = caps.get(kind, 0) or config.tileSize
+    if cap:
+        tile = max(spec.align, (int(cap) // spec.align) * spec.align)
+        if tile > 2 * spec.pad:
+            spec = replace(spec, tile=tile)
+    if config.tileBatch:
+        spec = replace(spec, batch=int(config.tileBatch))
+    return spec
+
+
 def buildExec(entry: dict, strength: float = 1.0, ensemble: int = 0,
-              cacheKey: Optional[str] = None) -> ModelExec:
+              cacheKey: Optional[str] = None, kind: str = "") -> ModelExec:
     """Instantiate (and cache) a ModelExec from a registry entry."""
     import jax.numpy as jnp
 
@@ -179,7 +197,7 @@ def buildExec(entry: dict, strength: float = 1.0, ensemble: int = 0,
     ex = ModelExec(
         fn,
         _paramsCache[pKey],
-        entry["spec"],
+        _applyConfigSpec(entry, kind),
         channelSplit=entry["channelSplit"] and not packed,
         pack=2 if packed else 0,
         outC=entry["outC"],
@@ -204,13 +222,15 @@ def getSR(opt: dict) -> Optional[ModelExec]:
         return None
     ens = opt.get("ensemble", config.ensembleSR)
     ens = ens if 0 <= int(ens) <= 7 else config.ensembleSR
-    return buildExec(SR_REGISTRY[name], ensemble=int(ens))
+    return buildExec(SR_REGISTRY[name], ensemble=int(ens), kind="sr")
 
 
 def getDN(opt: dict) -> ModelExec:
     """DN step options -> ModelExec (reference runDN.getOpt :25-38)."""
+    model = opt["model"]
+    kind = "dn" if model.startswith("lite") else "dns"
     return buildExec(
-        DN_REGISTRY[opt["model"]], strength=float(opt.get("strength", 1.0))
+        DN_REGISTRY[model], strength=float(opt.get("strength", 1.0)), kind=kind
     )
 
 
