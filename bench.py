@@ -32,7 +32,7 @@ def benchTPU():
     from __graft_entry__ import _lite2Params
 
     params = _lite2Params(4)
-    spec = TileSpec(tile=256, pad=5, align=8, scale=4.0, batch=4)
+    spec = TileSpec(tile=256, pad=5, align=8, scale=4.0, batch=8)  # calibrated
     ex = ModelExec(moeNetLite2x4, params, spec, channelSplit=True, name="lite4")
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))

@@ -110,3 +110,47 @@ def test_video_sr_with_range(fakeffmpeg, tmp_path, monkeypatch):
     with open(path) as fp:
         meta = json.load(fp)
     assert meta["bytes"] == 6 * 64 * 64 * 6  # 10 - 4 frames at 2x
+
+
+@needsReference
+@pytest.mark.skipif(not weightsExist, reason="no checkpoints")
+def test_video_benchmark_chain(fakeffmpeg, tmp_path, monkeypatch):
+    """Multi-step chain from the benchmark preset (minus slomo, whose
+    checkpoint is LFS-stripped): SR lite x2 -> resize -> DN lite5 ->
+    SR a x2 -> dehaze."""
+    monkeypatch.setenv("FAKEFF_FRAMES", "6")
+    monkeypatch.setenv("FAKEFF_SIZE", "48x32")
+    from moephoto_tpu.runtime.context import context
+    from moephoto_tpu.video.engine import SR_vid
+
+    class Flag:
+        _s = False
+
+        def is_set(self):
+            return self._s
+
+        def set(self):
+            self._s = True
+
+        def clear(self):
+            self._s = False
+
+    context.stopFlag = Flag()
+    context.notifier = None
+    outFile = str(tmp_path / "chain.mkv")
+    steps = [
+        {"op": "decode", "width": 48, "height": 32},
+        {"op": "range"},
+        {"op": "SR", "model": "lite", "scale": 2},
+        {"op": "resize", "width": 80, "height": 56, "method": "bilinear"},
+        {"op": "DN", "model": "lite5"},
+        {"op": "SR", "model": "a", "scale": 2},
+        {"op": "dehaze"},
+        {"op": "output", "file": outFile, "frameRate": 10, "codec": "libx264"},
+    ]
+    path, nFrames = SR_vid("testsrc", "cmd", *steps)
+    assert nFrames == 6
+    with open(path) as fp:
+        meta = json.load(fp)
+    assert meta["s"] == "160x112"
+    assert meta["bytes"] == 6 * 160 * 112 * 6
