@@ -28,8 +28,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from functools import partial
-from typing import Callable, List, Tuple
+from typing import Callable, List
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,9 @@ convs accumulate in fp32 (``preferred_element_type``).
 
 from __future__ import annotations
 
+import os
 import re
-from typing import Callable, Dict, Optional, Sequence, Tuple, Union
+from typing import Callable, Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -338,18 +339,39 @@ def convertStateDict(
     return out
 
 
+def saveParams(params: Params, path: str) -> None:
+    """Save converted params as a torch-free native checkpoint (.npz)."""
+    np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
+
+
+def loadParams(path: str, dtype=None) -> Params:
+    """Load a native .npz checkpoint saved by :func:`saveParams`."""
+    with np.load(path) as z:
+        return {
+            k: jnp.asarray(
+                z[k], dtype=dtype if np.issubdtype(z[k].dtype, np.floating) else None
+            )
+            for k in z.files
+        }
+
+
 def loadTorchWeights(
     path: str,
     convTPattern=None,
     dtype=None,
     subKey: Optional[str] = None,
 ) -> Params:
-    """Load a ``.pth`` state dict into the flat param convention.
+    """Load a checkpoint into the flat param convention.
 
-    Torch (CPU build) is used only as a deserializer; everything after
+    ``.npz`` native checkpoints (see :func:`saveParams` /
+    ``tools/convert_checkpoints.py``) load without torch; ``.pth`` uses
+    torch (CPU build) purely as a deserializer — everything after
     ``numpy()`` is JAX.  ``subKey`` selects a nested sub-dict (e.g. the
     per-module groups in the IconVSR checkpoint, ``runSlomo.py:26-31``).
     """
+    npzPath = path[: -len(".pth")] + ".npz" if path.endswith(".pth") else path
+    if npzPath.endswith(".npz") and os.path.exists(npzPath) and subKey is None:
+        return loadParams(npzPath, dtype)
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)

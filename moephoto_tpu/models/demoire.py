@@ -17,7 +17,6 @@ from moephoto_tpu.models.api import (
     Params,
     conv2d,
     convTranspose2d,
-    linear,
     prelu,
     scaleLayer,
 )

@@ -11,7 +11,6 @@ the host side between calls.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import List
 
 import jax
@@ -23,9 +22,7 @@ from moephoto_tpu.models.api import (
     Params,
     conv2d,
     convTranspose2d,
-    globalAvgPool,
     linear,
-    loadTorchWeights,
     sigmoid,
 )
 from moephoto_tpu.models.streamcommon import StreamOpt, alignPad, makeStreamFunc

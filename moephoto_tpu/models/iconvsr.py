@@ -12,7 +12,7 @@ lookahead), forward is strictly recurrent, keyframes every 7 frames.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -19,12 +19,10 @@ from moephoto_tpu.models.api import (
     globalAvgPool,
     interleaveDeferred,
     leakyRelu,
-    pixelShuffle,
     prelu,
-    relu,
     sigmoid,
 )
-from moephoto_tpu.models.blocks import arsb, frm, upsampleBlock, upsampleBlockV1
+from moephoto_tpu.models.blocks import arsb, frm
 
 
 def _mynetTrunk(params: Params, x: jnp.ndarray, nBlocks: int = 6):

@@ -10,13 +10,12 @@ halo.  Exact for models whose receptive field fits in the halo.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def haloExchange(x: jnp.ndarray, halo: int, axisName: str) -> jnp.ndarray:

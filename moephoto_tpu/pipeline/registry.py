@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Callable, Dict, Optional
+from typing import Dict, Optional
 
 from moephoto_tpu.config import config
 from moephoto_tpu.engine.executor import ModelExec

@@ -4,7 +4,6 @@ and runs the pipe-driven task loop."""
 
 from __future__ import annotations
 
-import logging
 from traceback import format_exc
 
 from moephoto_tpu.config import config
