@@ -234,7 +234,7 @@ class Deduper:
                 s[1] = (s[1][0] / (self.skips + 1), s[1][1], s[1][2])
                 self.skips = 0
             return [s]
-        newState = [a[0] if isinstance(a, list) else a for a in args]
+        newState = [a[0] for a in args]  # batch-of-1 from every input
         feats = newState[0]
         embt = newState[1]
         if self.state is None:

@@ -263,3 +263,18 @@ def test_net3x_deferred_arch(ref):
     net = Net3x()
     x = np.random.RandomState(0).rand(1, 1, 40, 32).astype(np.float32)
     assert runPair(torch, net, net3x, x) < TOL
+
+
+@needsReference
+def test_lite8_real_weights(ref):
+    torch = ref
+    from MoeNet_lite2 import Net
+
+    from moephoto_tpu.models.sr import moeNetLite2x8
+
+    net = Net(upscale=8)
+    net.load_state_dict(
+        torch.load("model/lite/model_8.pth", map_location="cpu", weights_only=False)
+    )
+    x = np.random.RandomState(0).rand(1, 1, 24, 16).astype(np.float32)
+    assert runPair(torch, net, moeNetLite2x8, x) < TOL

@@ -272,3 +272,67 @@ def test_iconvsr_stream_graph():
         mod_iconvsr.trunkApply = origTrunk
     assert len(outs) == n  # one output per input frame with full padding
     assert outs[0].shape == (192, 160, 3)  # x4
+
+
+@needsReference
+def test_ifrnet_dedupe_paths():
+    """Dedupe branch plumbing: with an unreachable skip threshold the
+    output count matches the plain path; with identical frames and a
+    reachable threshold, duplicates fold away (IFRNet.py:227-266)."""
+    from refshim import importReference
+
+    importReference()
+    import torch
+
+    cwd = os.getcwd()
+    os.chdir(REFERENCE)
+    try:
+        import IFRNet as RI
+    finally:
+        os.chdir(cwd)
+    import jax.numpy as jnp
+
+    from moephoto_tpu.models import ifrnet as JI
+    from moephoto_tpu.models.api import convertStateDict
+    from moephoto_tpu.progress import Node
+
+    torch.manual_seed(0)
+    chs = RI.Channels["S"]
+    enc = RI.IFRNetEncoder(None, chs, 1e-3)
+    dec = RI.IFRNetDecoder(None, chs, RI.SideChannels["S"], 0, 1e-3)
+    params = {}
+    for mod, prefix, convT in (
+        (enc, "encoder", None),
+        (dec, "decoder", lambda k, s: k.startswith("decoder.decoders.") and k.endswith(".2.weight")),
+    ):
+        sd = {f"{prefix}.{k}": v.numpy() for k, v in mod.state_dict().items()}
+        params.update({k: jnp.asarray(v) for k, v in convertStateDict(sd, convT).items()})
+
+    def run(frames, high):
+        opt = JI.IFRNetOpt()
+        opt.params = params
+        opt.dtype = jnp.float32
+        opt.chs = chs
+        opt.side = RI.SideChannels["S"]
+        opt.sf = 2.0
+        opt.dedupe = True
+        opt.dedupeLow = -1.0
+        opt.dedupeHigh = high
+        opt.ensemble = 0
+        outs = []
+        f = JI.doSlomo(lambda x: [np.asarray(x)], Node({"op": "test"}), opt)
+        for fr in frames:
+            outs.extend(f(jnp.asarray(fr)))
+        outs.extend(f(None))
+        return outs
+
+    rng = np.random.RandomState(0)
+    frames = [rng.rand(24, 20, 3).astype(np.float32) for _ in range(4)]
+    # threshold unreachable: behaves like the plain path
+    outs = run(frames, high=2.0)
+    assert len(outs) == 1 + 2 * (len(frames) - 1)
+    assert outs[0].shape == (24, 20, 3)
+    # identical frames with reachable threshold: everything folds
+    a = frames[0]
+    outsDup = run([a, a, a, a], high=0.999999)
+    assert len(outsDup) < len(outs)
