@@ -201,30 +201,46 @@ def _tiledApplyImpl(
 
     padSc = int(round(pad * sc))
     oH, oW = int(round(ph * sc)), int(round(pw * sc))
-    canvas = jnp.zeros((oH, oW, outC), out_tiles.dtype)
-    weight = jnp.zeros((oH, oW, 1), out_tiles.dtype)
-    idx = 0
+
+    # Blend windows: one of (up to) 9 edge variants per tile.  The
+    # overlap-add runs as a lax.scan over tiles so the canvas updates
+    # compile once (an unrolled loop put 40 scatter-adds on a 4K canvas
+    # into the program) and alias in place via the scan carry.
+    yKind = lambda i, n: 0 if n == 1 else (0 if i == 0 else (2 if i == n - 1 else 1))
+    winBank = []
+    winIndex = {}
+    tileWin, tileOy, tileOx = [], [], []
     for iy, y in enumerate(ys):
         for ix, xcoord in enumerate(xs):
-            win = blendWindow(
-                oth,
-                otw,
-                padSc,
-                out_tiles.dtype,
-                edges=(
-                    iy == 0,
-                    iy == len(ys) - 1,
-                    ix == 0,
-                    ix == len(xs) - 1,
-                ),
-            )[:, :, None]
-            oy, ox = int(round(y * sc)), int(round(xcoord * sc))
-            # .at[].add lowers to in-place scatter-add — no canvas copies
-            canvas = canvas.at[oy : oy + oth, ox : ox + otw, :].add(
-                out_tiles[idx] * win
-            )
-            weight = weight.at[oy : oy + oth, ox : ox + otw, :].add(win)
-            idx += 1
+            edges = (iy == 0, iy == len(ys) - 1, ix == 0, ix == len(xs) - 1)
+            if edges not in winIndex:
+                winIndex[edges] = len(winBank)
+                winBank.append(
+                    blendWindow(oth, otw, padSc, out_tiles.dtype, edges)[:, :, None]
+                )
+            tileWin.append(winIndex[edges])
+            tileOy.append(int(round(y * sc)))
+            tileOx.append(int(round(xcoord * sc)))
+    winBankArr = jnp.stack(winBank)
+    coords = (
+        jnp.asarray(tileWin, jnp.int32),
+        jnp.asarray(tileOy, jnp.int32),
+        jnp.asarray(tileOx, jnp.int32),
+    )
+
+    def accum(carry, inp):
+        canvas, weight = carry
+        tileOut, (wIdx, oy, ox) = inp
+        win = winBankArr[wIdx]
+        cSlice = jax.lax.dynamic_slice(canvas, (oy, ox, 0), (oth, otw, outC))
+        canvas = jax.lax.dynamic_update_slice(canvas, cSlice + tileOut * win, (oy, ox, 0))
+        wSlice = jax.lax.dynamic_slice(weight, (oy, ox, 0), (oth, otw, 1))
+        weight = jax.lax.dynamic_update_slice(weight, wSlice + win, (oy, ox, 0))
+        return (canvas, weight), None
+
+    canvas = jnp.zeros((oH, oW, outC), out_tiles.dtype)
+    weight = jnp.zeros((oH, oW, 1), out_tiles.dtype)
+    (canvas, weight), _ = jax.lax.scan(accum, (canvas, weight), (out_tiles, coords))
     out = canvas / jnp.maximum(weight, 1e-8)
     return out[: int(round(h * sc)), : int(round(w * sc)), :]
 
