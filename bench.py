@@ -87,10 +87,67 @@ def benchTorchCPU():
         return None
 
 
+def benchDetail():
+    """Extra real-weight configs (BASELINE.md configs 1/2/4 analogs);
+    written to BENCH_DETAIL.json, never printed to stdout."""
+    import jax
+    import jax.numpy as jnp
+
+    from moephoto_tpu.pipeline import registry
+
+    red = jax.jit(lambda v: jnp.mean(v))
+    rng = np.random.RandomState(0)
+
+    def timeEx(ex, h, w, iters=5):
+        x = jnp.asarray(rng.rand(h, w, 3).astype(np.float32))
+        float(red(ex(x)))
+        t0 = time.perf_counter()
+        vals = [red(ex(x)) for _ in range(iters)]
+        _ = sum(float(v) for v in vals)
+        return round(h * w / 1e6 / ((time.perf_counter() - t0) / iters), 3)
+
+    detail = {}
+    cases = [
+        ("SR_lite_x2_1080p", lambda: registry.getSR({"model": "lite", "scale": 2}), 1080, 1920),
+        ("SR_a_x2_1080p", lambda: registry.getSR({"model": "a", "scale": 2}), 1080, 1920),
+        ("DN_lite5_1080p", lambda: registry.getDN({"model": "lite5"}), 1080, 1920),
+        ("dehaze_AOD_1080p", lambda: registry.getDehaze({"model": "dehaze"}), 1080, 1920),
+        ("demoire_sun_1024", lambda: registry.getDehaze({"model": "sun"}), 1024, 1024),
+    ]
+    for name, build, h, w in cases:
+        try:
+            detail[name] = {"Mpx_per_s": timeEx(build(), h, w)}
+        except Exception as e:
+            detail[name] = {"error": str(e).splitlines()[0][:120]}
+    # chained config 2 analog: DN lite5 -> SR lite x4, tiled 1080p
+    try:
+        dn = registry.getDN({"model": "lite5"})
+        sr = registry.getSR({"model": "lite", "scale": 4})
+        import jax.numpy as jnp2
+
+        x = jnp2.asarray(rng.rand(1080, 1920, 3).astype(np.float32))
+        chain = lambda v: sr(dn(v))
+        float(red(chain(x)))
+        t0 = time.perf_counter()
+        vals = [red(chain(x)) for _ in range(3)]
+        _ = sum(float(v) for v in vals)
+        detail["chain_DNlite5_SRlite4_1080p"] = {
+            "Mpx_per_s": round(1080 * 1920 / 1e6 / ((time.perf_counter() - t0) / 3), 3)
+        }
+    except Exception as e:
+        detail["chain_DNlite5_SRlite4_1080p"] = {"error": str(e).splitlines()[0][:120]}
+    with open("BENCH_DETAIL.json", "w") as fp:
+        json.dump(detail, fp, indent=2)
+
+
 def main():
     value = benchTPU()
     base = benchTorchCPU()
     vs = value / base if base else 0.0
+    try:
+        benchDetail()
+    except Exception:
+        pass
     print(
         json.dumps(
             {
