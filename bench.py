@@ -136,8 +136,48 @@ def benchDetail():
         }
     except Exception as e:
         detail["chain_DNlite5_SRlite4_1080p"] = {"error": str(e).splitlines()[0][:120]}
+    detail["psnr_bf16_vs_torch_fp32_dB"] = psnrVsReference()
     with open("BENCH_DETAIL.json", "w") as fp:
         json.dump(detail, fp, indent=2)
+
+
+def psnrVsReference():
+    """bf16 TPU pipeline output vs the reference torch fp32 output on a
+    small image (the BASELINE quality gate: <=0.05 dB PSNR deviation —
+    outputs this close shift PSNR-vs-GT by far less)."""
+    try:
+        import jax.numpy as jnp
+        import torch
+
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from refshim import importReference
+
+        importReference()
+        cwd = os.getcwd()
+        os.chdir("/root/reference")
+        try:
+            from MoeNet_lite2 import Net
+        finally:
+            os.chdir(cwd)
+        from moephoto_tpu.pipeline import registry
+
+        net = Net(upscale=2)
+        net.load_state_dict(
+            torch.load("/root/reference/model/lite/model.pth", map_location="cpu", weights_only=False)
+        )
+        net.eval()
+        rng = np.random.RandomState(7)
+        img = rng.rand(96, 80, 3).astype(np.float32)
+        x = torch.from_numpy(img.transpose(2, 0, 1)).unsqueeze(1)
+        with torch.no_grad():
+            ref = net(x)[0].squeeze(1).numpy().transpose(1, 2, 0)
+        ref = np.clip(ref, 0, 1)
+        ex = registry.getSR({"model": "lite", "scale": 2})
+        ours = np.clip(np.asarray(ex(jnp.asarray(img))), 0, 1)
+        mse = float(np.mean((ours - ref) ** 2))
+        return round(10 * np.log10(1.0 / max(mse, 1e-12)), 2)
+    except Exception as e:
+        return f"error: {str(e).splitlines()[0][:80]}"
 
 
 def main():
