@@ -153,6 +153,12 @@ def resizeStep(opt, out, pos=0, nodes=[]):
         x = im[None]
         if opt_["method"] == "nearest":
             y = resizeNearest(x, nh, nw)
+        elif opt_["method"] == "bicubic":
+            # Keys cubic (a=-0.5) vs torch bicubic (a=-0.75): visually
+            # equivalent smooth kernel, slight tap-weight difference
+            import jax.image
+
+            y = jax.image.resize(x, x.shape[:-3] + (nh, nw, x.shape[-1]), "cubic")
         else:
             y = resizeBilinear(x, nh, nw)
         return y[0]

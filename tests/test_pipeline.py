@@ -192,3 +192,38 @@ def test_bf16_quality_gate(ctx):
     mse = np.mean((np.clip(y16, 0, 1) - np.clip(y32, 0, 1)) ** 2)
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
     assert psnr > 40, psnr
+
+
+@needsReference
+@pytest.mark.skipif(not weightsExist, reason="no checkpoints")
+def test_sr_ensemble(ctx, tmp_path):
+    """8-way self-ensemble path runs and stays close to the plain output."""
+    import jax.numpy as jnp
+
+    from moephoto_tpu.engine.executor import ModelExec
+    from moephoto_tpu.engine.tiling import TileSpec
+    from moephoto_tpu.models.api import loadTorchWeights
+    from moephoto_tpu.models.sr import moeNetLite2x2
+
+    params = loadTorchWeights("/root/reference/model/lite/model.pth")
+    spec = TileSpec(tile=64, pad=5, align=8, scale=2.0, batch=4)
+    plain = ModelExec(moeNetLite2x2, params, spec, channelSplit=True, dtype=jnp.float32)
+    ens = ModelExec(
+        moeNetLite2x2, params, spec, channelSplit=True, ensemble=3, dtype=jnp.float32
+    )
+    x = np.random.RandomState(9).rand(40, 48, 3).astype(np.float32)
+    a = np.asarray(plain(x))
+    b = np.asarray(ens(x))
+    assert a.shape == b.shape == (80, 96, 3)
+    # ensemble averages dihedral views: close to, but not equal to, plain
+    assert np.abs(a - b).mean() < 0.05
+
+
+def test_resize_bicubic(ctx):
+    from moephoto_tpu.pipeline.steps import resizeStep
+
+    import jax.numpy as jnp
+
+    f = resizeStep({"width": 16, "height": 12, "method": "bicubic"}, {"source": 0})
+    out = f(jnp.ones((24, 32, 3), jnp.float32))
+    assert out.shape == (12, 16, 3)
