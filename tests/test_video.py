@@ -154,3 +154,45 @@ def test_video_benchmark_chain(fakeffmpeg, tmp_path, monkeypatch):
         meta = json.load(fp)
     assert meta["s"] == "160x112"
     assert meta["bytes"] == 6 * 160 * 112 * 6
+
+
+@needsReference
+@pytest.mark.skipif(not weightsExist, reason="no checkpoints")
+def test_video_stop_flag(fakeffmpeg, tmp_path, monkeypatch):
+    """Setting the stop flag mid-stream terminates cleanly with partial
+    output (reference video.py:350: per-frame stop check)."""
+    monkeypatch.setenv("FAKEFF_FRAMES", "50")
+    monkeypatch.setenv("FAKEFF_SIZE", "32x32")
+    from moephoto_tpu.runtime.context import context
+    from moephoto_tpu.video.engine import SR_vid
+
+    class Flag:
+        def __init__(self):
+            self._s = False
+            self.count = 0
+
+        def is_set(self):
+            # trip after a few frames worth of checks
+            self.count += 1
+            return self.count > 6
+
+        def set(self):
+            self._s = True
+
+        def clear(self):
+            self.count = 0
+
+    context.stopFlag = Flag()
+    context.notifier = None
+    outFile = str(tmp_path / "stopped.mkv")
+    steps = [
+        {"op": "decode", "width": 32, "height": 32},
+        {"op": "range"},
+        {"op": "SR", "model": "lite", "scale": 2},
+        {"op": "output", "file": outFile, "frameRate": 10, "codec": "libx264"},
+    ]
+    path, nFrames = SR_vid("testsrc", "cmd", *steps)
+    assert nFrames < 50  # stopped early
+    with open(path) as fp:
+        meta = json.load(fp)
+    assert meta["bytes"] == nFrames * 64 * 64 * 6
