@@ -416,7 +416,7 @@ def doVSR(func, node, opt: VSROpt):
     graph.tee(keyframeFeatureS, [keyframeFeature1, keyframeFeature2])
     graph.stage(
         nodes[1].bindFunc(calcFlowBackward), [flowBackwardInp], [flowBackward],
-        size=1, flushOnce=True,
+        size=4, flushOnce=True,  # batch SpyNet pairs (ref schedules 1 at a time)
     )
     graph.stage(
         nodes[2].bindFunc(calcBackward),
@@ -425,7 +425,7 @@ def doVSR(func, node, opt: VSROpt):
         size=BackwardChunk,
         flushOnce=True,
     )
-    graph.stage(nodes[3].bindFunc(calcFlowForward), [flowForwardInp], [flowForward], size=1)
+    graph.stage(nodes[3].bindFunc(calcFlowForward), [flowForwardInp], [flowForward], size=4)
     graph.stage(
         nodes[4].bindFunc(calcForward),
         [inp1, flowForward, keyframeFeature2, backward],
