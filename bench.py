@@ -184,10 +184,8 @@ def main():
     value = benchTPU()
     base = benchTorchCPU()
     vs = value / base if base else 0.0
-    try:
-        benchDetail()
-    except Exception:
-        pass
+    # emit the driver's line FIRST (benchDetail adds minutes and must
+    # never cost us the primary metric if the run is cut short)
     print(
         json.dumps(
             {
@@ -196,8 +194,13 @@ def main():
                 "unit": "Mpx/s",
                 "vs_baseline": round(vs, 2),
             }
-        )
+        ),
+        flush=True,
     )
+    try:
+        benchDetail()
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":
