@@ -30,7 +30,9 @@ def getMM(size, create=True):
 def main():
     """Worker-side bootstrap: build the task route table (reference
     ``MoePhoto.py:23-62``); model imports happen lazily inside."""
-    from moephoto_tpu.config import config
+    from moephoto_tpu.config import config, enableCompilationCache
+
+    enableCompilationCache()
     from moephoto_tpu.pipeline.steps import genProcess
     from moephoto_tpu.progress import Node
     from moephoto_tpu.runtime.context import context

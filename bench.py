@@ -16,6 +16,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from moephoto_tpu.config import enableCompilationCache
+
+enableCompilationCache()
+
 H, W = 1080, 1920
 WARMUP = 2
 ITERS = 10

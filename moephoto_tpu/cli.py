@@ -18,6 +18,10 @@ import json
 import os
 import sys
 
+from moephoto_tpu.config import enableCompilationCache
+
+enableCompilationCache()
+
 
 class _Flag:
     _s = False
