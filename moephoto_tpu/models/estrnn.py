@@ -186,8 +186,17 @@ def doESTRNN(func, node, opt: ESTRNNOpt):
         return gsaJit(opt.params, hsB, wB)
 
     def reconsStage(fusionB, last=None):
-        out = reconsJit(opt.params, jnp.stack(fusionB))
-        return [jnp.clip(o.astype(jnp.float32), 0.0, 1.0) for o in out]
+        # match the reference's doCrop path for the reconstructor
+        # (ESTRNN.py:223: align=32 reflect padding, output cropped); no
+        # clamp — the reference clamps only at bit-depth conversion
+        x = jnp.stack(fusionB)
+        b, h, w, c = x.shape
+        H = -(-h // 32) * 32
+        W = -(-w // 32) * 32
+        if (H, W) != (h, w):
+            x = jnp.pad(x, ((0, 0), (0, H - h), (0, W - w), (0, 0)), mode="reflect")
+        out = reconsJit(opt.params, x)[:, : h * 4, : w * 4]
+        return [o.astype(jnp.float32) for o in out]
 
     inp = Stream(name="inp")
     forward = Stream(name="forward")

@@ -1,0 +1,234 @@
+"""Full-pipeline goldens: run the REFERENCE's actual streaming pipelines
+(StreamState graphs + doCrop machinery, via tools/refshim) with random
+weights and compare frame-for-frame against this framework's stream
+graphs.  Sizes chosen so the reference's align padding is a no-op
+(exactness instead of border tolerance)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE, needsReference
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+
+@pytest.fixture(scope="module")
+def refEnv(tmp_path_factory):
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("no reference")
+    from refshim import importReference
+
+    importReference()
+    import torch
+
+    cwd = os.getcwd()
+    os.chdir(REFERENCE)
+    yield torch, str(tmp_path_factory.mktemp("ckpt"))
+    os.chdir(cwd)
+
+
+def _convert(prefixedSds, convT=None):
+    import jax.numpy as jnp
+
+    from moephoto_tpu.models.api import convertStateDict
+
+    params = {}
+    for prefix, sd in prefixedSds:
+        flat = {f"{prefix}.{k}": v.numpy() for k, v in sd.items()}
+        params.update(
+            {k: jnp.asarray(v) for k, v in convertStateDict(flat, convT).items()}
+        )
+    return params
+
+
+@needsReference
+def test_estrnn_full_pipeline_golden(refEnv):
+    torch, ckptDir = refEnv
+    import ESTRNN as RE
+    from progress import Node as RNode
+
+    import jax
+    import jax.numpy as jnp
+
+    from moephoto_tpu.models import estrnn as JE
+    from moephoto_tpu.progress import Node
+
+    torch.manual_seed(0)
+    cell = RE.RDBCell(RE.para)
+    fusion = RE.GSA(RE.para)
+    recons = RE.Reconstructor()
+    path = os.path.join(ckptDir, "estrnn.pth")
+    torch.save(
+        {"cell": cell.state_dict(), "fusion": fusion.state_dict(), "recons": recons.state_dict()},
+        path,
+    )
+    old = RE.modelPaths["1ms8ms"]
+    RE.modelPaths["1ms8ms"] = path
+    try:
+        ropt = RE.getOpt({"model": "1ms8ms"})
+    finally:
+        RE.modelPaths["1ms8ms"] = old
+    ropt.start = 2
+    ropt.end = -2
+    outRef = []
+    f = RE.doESTRNN(
+        lambda im: outRef.append(im.detach().float().numpy()) or [],
+        RNode({"op": "t"}, learn=0),
+        ropt,
+    )
+    rng = np.random.RandomState(0)
+    frames = [rng.rand(3, 128, 128).astype(np.float32) for _ in range(6)]
+    for fr in frames:
+        f(torch.from_numpy(fr))
+    f(None)
+
+    params = _convert(
+        [("cell", cell.state_dict()), ("fusion", fusion.state_dict()),
+         ("recons", recons.state_dict())],
+        convT=lambda k, s: k in ("recons.0.weight", "recons.1.weight"),
+    )
+    opt = JE.ESTRNNOpt()
+    opt.params = params
+    opt.dtype = jnp.float32
+    opt.start = 2
+    opt.end = -2
+    mine = []
+    g = JE.doESTRNN(lambda x: [np.asarray(x)], Node({"op": "t"}), opt)
+    for fr in frames:
+        mine.extend(g(jnp.asarray(fr.transpose(1, 2, 0))))
+    mine.extend(g(None))
+    assert len(outRef) == len(mine) == 6
+    for r, m in zip(outRef, mine):
+        np.testing.assert_allclose(m, r.transpose(1, 2, 0), atol=5e-5)
+
+
+@needsReference
+def test_ifrnet_full_pipeline_golden(refEnv):
+    torch, ckptDir = refEnv
+    import IFRNet as RI
+    from progress import Node as RNode
+
+    import jax.numpy as jnp
+
+    from moephoto_tpu.models import ifrnet as JI
+    from moephoto_tpu.progress import Node
+
+    torch.manual_seed(0)
+    chs = RI.Channels["S"]
+    enc = RI.IFRNetEncoder(None, chs, 1e-3)
+    dec = RI.IFRNetDecoder(None, chs, RI.SideChannels["S"], 0, 1e-3)
+    path = os.path.join(ckptDir, "ifrnet.pth")
+    torch.save({"encoder": enc.state_dict(), "decoder": dec.state_dict()}, path)
+    old = RI.modelPaths["S"]
+    RI.modelPaths["S"] = path
+    try:
+        ropt = RI.getOpt({"model": "IFRNet S", "sf": 2})
+    finally:
+        RI.modelPaths["S"] = old
+    ropt.start = 0  # video.prepare sets these on the reference side
+    ropt.end = 0
+    outRef = []
+    f = RI.doSlomo(
+        lambda im: outRef.append(im.detach().float().numpy()) or [],
+        RNode({"op": "t"}, learn=0),
+        ropt,
+    )
+    rng = np.random.RandomState(0)
+    frames = [rng.rand(3, 128, 128).astype(np.float32) for _ in range(4)]
+    for fr in frames:
+        f(torch.from_numpy(fr))
+    f(None)
+
+    params = _convert(
+        [("encoder", enc.state_dict()), ("decoder", dec.state_dict())],
+        convT=lambda k, s: k.startswith("decoder.decoders.") and k.endswith(".2.weight"),
+    )
+    opt = JI.IFRNetOpt()
+    opt.params = params
+    opt.dtype = jnp.float32
+    opt.chs = chs
+    opt.side = RI.SideChannels["S"]
+    opt.sf = 2.0
+    opt.dedupe = False
+    opt.ensemble = 0
+    mine = []
+    g = JI.doSlomo(lambda x: [np.asarray(x)], Node({"op": "t"}), opt)
+    for fr in frames:
+        mine.extend(g(jnp.asarray(fr.transpose(1, 2, 0))))
+    mine.extend(g(None))
+    assert len(outRef) == len(mine) == 1 + 2 * (len(frames) - 1)
+    for r, m in zip(outRef, mine):
+        np.testing.assert_allclose(m, r.transpose(1, 2, 0), atol=5e-5)
+
+
+@needsReference
+def test_iconvsr_full_pipeline_golden(refEnv):
+    torch, ckptDir = refEnv
+    import videoSR as RV
+    from progress import Node as RNode
+
+    import jax.numpy as jnp
+
+    from moephoto_tpu.models import iconvsr as JV
+    from moephoto_tpu.progress import Node
+
+    torch.manual_seed(0)
+    mods = dict(
+        edvr=RV.EDVRFeatureExtractor(7, 64),
+        spynet=RV.SpyNet(),
+        backward_trunk=RV.ConvResidualBlocks(64 + 3, 64, 30),
+        forward_trunk=RV.ConvResidualBlocks(2 * 64 + 3, 64, 30),
+        upsample=RV.Upsample(),
+        backward_fusion=RV.newFusion(),
+        forward_fusion=RV.newFusion(),
+    )
+    path = os.path.join(ckptDir, "iconvsr.pth")
+    torch.save({k: m.state_dict() for k, m in mods.items()}, path)
+    oldPath = RV.modelPath
+    RV.modelPath = path
+    try:
+        ropt = RV.getOpt()
+    finally:
+        RV.modelPath = oldPath
+    ropt.start = 3
+    ropt.end = 0
+    outRef = []
+    f = RV.doVSR(
+        lambda im: outRef.append(im.detach().float().numpy()) or [],
+        RNode({"op": "t"}, learn=0),
+        ropt,
+    )
+    rng = np.random.RandomState(0)
+    n = 16  # the reference's 7-window keyframe stage needs >= 13 frames
+    frames = [rng.rand(3, 64, 64).astype(np.float32) for _ in range(n)]
+    for fr in frames:
+        f(torch.from_numpy(fr))
+    ropt.end = -3
+    f(None)
+
+    if not outRef:
+        pytest.skip(
+            "reference StreamState VSR pipeline does not drain outside the "
+            "real video loop (setOutShape programs huge stage batch sizes); "
+            "IconVSR is covered by exact component tests + count tests"
+        )
+    params = _convert([(k, m.state_dict()) for k, m in mods.items()])
+    opt = JV.VSROpt()
+    opt.params = params
+    opt.dtype = jnp.float32
+    opt.start = 3
+    mine = []
+    g = JV.doVSR(lambda x: [np.asarray(x)], Node({"op": "t"}), opt)
+    for fr in frames:
+        mine.extend(g(jnp.asarray(fr.transpose(1, 2, 0))))
+    opt.end = -3
+    mine.extend(g(None))
+    assert len(outRef) == len(mine) == n
+    for i, (r, m) in enumerate(zip(outRef, mine)):
+        np.testing.assert_allclose(m, r.transpose(1, 2, 0), atol=2e-4,
+                                   err_msg=f"frame {i}")
