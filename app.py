@@ -1,35 +1,41 @@
-"""Application entry (reference ``python/MoePhoto.py``): spawns the
-compute worker process (JAX lives there), three pipes, a stop event and
-the shared-memory image exchange, then serves HTTP.
+"""Application entry: compute worker process + HTTP frontend.
+
+Two processes connected by three pipes, a stop event, and a shared
+memory block for image payloads (SURVEY.md section 5; reference
+``python/MoePhoto.py``).  JAX only ever loads in the worker so the
+HTTP process stays responsive during compiles.
 
 Usage: ``python app.py [-g]``  (-g binds 0.0.0.0)
 """
 
 import multiprocessing as mp
-import sys
 import os
+import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from moephoto_tpu.config import defaultConfig
 
-sharedMemSize = defaultConfig["sharedMemSize"][0]
-isWindows = sys.platform[:3] == "win"
-mmName = "SharedMemoryMoeTPU"
+SHM_NAME = "SharedMemoryMoeTPU"
+SHM_SIZE = defaultConfig["sharedMemSize"][0]
+onWindows = sys.platform.startswith("win")
 
 
-def getMM(size, create=True):
+def openShared(create: bool):
     from multiprocessing.shared_memory import SharedMemory
 
     try:
-        return SharedMemory(mmName, create, size)
+        return SharedMemory(SHM_NAME, create, SHM_SIZE)
     except FileExistsError:
-        return SharedMemory(mmName, False, size)
+        return SharedMemory(SHM_NAME, False, SHM_SIZE)
 
 
 def main():
-    """Worker-side bootstrap: build the task route table (reference
-    ``MoePhoto.py:23-62``); model imports happen lazily inside."""
+    """Worker-side bootstrap: returns (sharedMemory, route table).
+
+    Imports are deferred to here so the server process never pays for
+    them; the heavy model imports are lazier still, inside genProcess.
+    """
     from moephoto_tpu.config import config, enableCompilationCache
 
     enableCompilationCache()
@@ -39,57 +45,61 @@ def main():
     from moephoto_tpu.runtime.worker import begin, enhance
     from moephoto_tpu.video.engine import SR_vid
 
-    stepFile = [{"op": "file"}]
-    imNode = Node({"op": "image"}, learn=0)
+    imageRoot = Node({"op": "image"}, learn=0)
 
-    def lock(duration):
+    def holdInterface(seconds):
+        """Countdown task that keeps the worker busy (UI lock test)."""
         import time
 
-        node = begin(Node({}, 1, duration, 0))
+        node = begin(Node({}, 1, seconds, 0))
         node.reset().trace(0)
-        while duration > 0 and not context.stopFlag.is_set():
-            duration -= 1
+        while seconds > 0 and not context.stopFlag.is_set():
+            seconds -= 1
             time.sleep(1)
             node.trace()
-        return duration
+        return seconds
 
-    def imageEnhance(size, *args):
-        outputOpt = args[-1]
-        name = outputOpt.get("file") if isinstance(outputOpt, dict) else None
-        if not (isinstance(outputOpt, dict) and outputOpt.get("op") == "output"):
-            outputOpt = {}
-        bench = outputOpt.get("diagnose", {}).get("bench", False)
-        trace = outputOpt.get("trace", False) or bench
-        process, nodes = genProcess(stepFile + list(args))
-        return begin(imNode, nodes, trace, bench).bindFunc(process)(size, name=name)
+    def runImageTask(size, *steps):
+        """Compile the step chain and run it on the shared-memory image."""
+        last = steps[-1] if steps and isinstance(steps[-1], dict) else {}
+        name = last.get("file")  # taken before the op gate, like the reference
+        output = last if last.get("op") == "output" else {}
+        bench = output.get("diagnose", {}).get("bench", False)
+        process, nodes = genProcess([{"op": "file"}, *steps])
+        tracked = begin(imageRoot, nodes, output.get("trace", False) or bench, bench)
+        return tracked.bindFunc(process)(size, name=name)
 
-    mm = getMM(sharedMemSize, False)
-    return mm, {
-        "lockInterface": lock,
-        "image_enhance": enhance(imageEnhance, verbose=False),
-        "batch": enhance(imageEnhance, verbose=False),
+    routes = {
+        "lockInterface": holdInterface,
+        "image_enhance": enhance(runImageTask, verbose=False),
+        "batch": enhance(runImageTask, verbose=False),
         "video_enhance": enhance(SR_vid),
         "systemInfo": enhance(config.system),
     }
+    return openShared(False), routes
 
 
-if __name__ == "__main__":
+def launch():
     mp.set_start_method("spawn")
     from moephoto_tpu.runtime.worker import worker
 
-    taskInReceiver, taskInSender = mp.Pipe(False)
-    taskOutReceiver, taskOutSender = mp.Pipe(False)
-    noter, notifier = mp.Pipe(False)
-    stopEvent = mp.Event()
+    taskRx, taskTx = mp.Pipe(False)
+    resultRx, resultTx = mp.Pipe(False)
+    noteRx, noteTx = mp.Pipe(False)
+    stop = mp.Event()
     mp.Process(
         target=worker,
-        args=(main, taskInReceiver, taskOutSender, notifier, stopEvent, isWindows),
+        args=(main, taskRx, resultTx, noteTx, stop, onWindows),
         daemon=True,
     ).start()
+
     from moephoto_tpu.runtime.server import config as serverConfig, runserver
 
-    mm = getMM(sharedMemSize)
-    run = runserver(taskInSender, taskOutReceiver, noter, stopEvent, mm, isWindows)
+    shm = openShared(True)  # bound here: GC of the wrapper closes the mmap
+    serve = runserver(taskTx, resultRx, noteRx, stop, shm, onWindows)
     host = "0.0.0.0" if "-g" in sys.argv[1:] else "127.0.0.1"
-    port = serverConfig.get("port", 2333)
-    run(host, port)
+    serve(host, serverConfig.get("port", 2333))
+
+
+if __name__ == "__main__":
+    launch()

@@ -1,5 +1,12 @@
-"""Preset CRUD under ``.user/preset_{image,video}`` (reference
-``python/preset.py``): JSON files with mtime cache and version gate."""
+"""Named step-chain presets stored as JSON under ``.user/preset_*``.
+
+Serves the frontend's preset picker: listing returns briefs
+``{name, notes}``, fetching returns the raw JSON text, saving writes
+``<name>.json``.  Files are re-read only when their mtime advances, and
+presets written by a newer app version are rejected ("Incompatible
+version").  HTTP semantics match the reference route (preset.py:54-77):
+unknown type or any error → 403, missing preset → 404.
+"""
 
 from __future__ import annotations
 
@@ -10,80 +17,109 @@ import time
 from moephoto_tpu.config import VERSION, compareVersion
 
 version = VERSION
-cache = {}
+PRESET_TYPES = ("image", "video")
+COMPACT = dict(ensure_ascii=False, separators=(",", ":"))
 
 getBrief = lambda item: dict(name=item["name"], notes=item.get("notes", []))
 
 
-def safeJoin(base, *parts):
-    p = os.path.normpath(os.path.join(base, *parts))
-    if not os.path.abspath(p).startswith(os.path.abspath(base)):
-        raise ValueError("path escape")
-    return p
+class PresetStore:
+    """One preset directory with an mtime-validated in-memory cache."""
 
+    def __init__(self, directory: str):
+        self.dir = directory
+        self.cache: dict = {}  # name -> (mtime, rawText, brief)
 
-def loadPreset(path):
-    def f(filename, raw=False):
+    def _path(self, filename: str) -> str:
+        full = os.path.normpath(os.path.join(self.dir, filename))
+        if not os.path.abspath(full).startswith(os.path.abspath(self.dir)):
+            raise ValueError("preset path escapes store directory")
+        return full
+
+    def _refresh(self, name: str, filename: str):
+        """Re-read one file if newer than cached; returns an error string
+        for raw fetches of incompatible/broken files, else None."""
+        full = self._path(filename)
+        if not os.path.exists(full):
+            return "missing"
+        mtime = os.stat(full).st_mtime
+        cached = self.cache.get(name)
+        if cached and cached[0] >= mtime:
+            return None
+        try:
+            with open(full, "r", encoding="utf-8") as fp:
+                text = fp.read()
+            item = json.loads(text)
+            if compareVersion(version, item["version"]) < 0:
+                return "Incompatible version"
+            self.cache[item["name"]] = (mtime, text, getBrief(item))
+            return None
+        except Exception as e:
+            return str(e)
+
+    def fetch(self, name: str):
+        """Raw JSON text of one preset, or an error string, or None."""
+        if name in self.cache:
+            return self.cache[name][1]
+        err = self._refresh(name, name + ".json")
+        if err == "missing":
+            return None
+        if err:
+            return err
+        entry = self.cache.get(name)
+        return entry[1] if entry else None
+
+    def brief(self, filename: str):
         if not filename.endswith(".json"):
             return None
         name = filename.rpartition(".")[0]
-        filename = safeJoin(path, filename)
-        if not os.path.exists(filename):
+        if self._refresh(name, filename):
             return None
-        mtime = cache[name][0] if name in cache else 0
-        st_mtime = os.stat(filename).st_mtime
-        if mtime < st_mtime:
-            try:
-                with open(filename, "r", encoding="utf-8") as fp:
-                    text = fp.read()
-                    item = json.loads(text)
-                    name = item["name"]
-                    if compareVersion(version, item["version"]) < 0:
-                        return "Incompatible version" if raw else None
-                    cache[name] = (st_mtime, text, getBrief(item))
-            except Exception as e:
-                return str(e) if raw else None
-        return cache[name][1] if raw else cache[name][2]
+        entry = self.cache.get(name)
+        return entry[2] if entry else None
 
-    return f
+    def listBriefs(self):
+        if not os.path.exists(self.dir):
+            return []
+        return [b for b in map(self.brief, os.listdir(self.dir)) if b]
 
-
-def savePreset(path):
-    def f(data):
-        os.makedirs(path, exist_ok=True)
+    def save(self, data: str) -> str:
         brief = getBrief(json.loads(data))
         name = brief["name"]
-        with open(safeJoin(path, name + ".json"), "w", encoding="utf-8") as fp:
+        os.makedirs(self.dir, exist_ok=True)
+        with open(self._path(name + ".json"), "w", encoding="utf-8") as fp:
             fp.write(data)
-        cache[name] = (time.time(), data, brief)
+        self.cache[name] = (time.time(), data, brief)
         return name
 
-    return f
+
+_stores: dict = {}
 
 
-def initPreset(config):
+def _store(pType: str) -> PresetStore:
+    if pType not in _stores:
+        _stores[pType] = PresetStore(".user/preset_" + pType)
+    return _stores[pType]
+
+
+def initPreset(cfg):
     global version
-    if "version" in config:
-        version = config["version"]
+    if "version" in cfg:
+        version = cfg["version"]
 
 
 def handlePreset(values):
-    """(body, status) for the /preset endpoint (reference preset.py:54-77)."""
+    """(body, status) for the /preset endpoint."""
     try:
         pType = values.get("path")
-        if pType not in {"video", "image"}:
+        if pType not in PRESET_TYPES:
             return "", 403
-        path = ".user/preset_" + pType
-        name = values.get("name")
-        data = values.get("data")
-        if data:
-            return savePreset(path)(data), 200
-        if name:
-            res = cache[name][1] if name in cache else loadPreset(path)(name + ".json", True)
-            return (res, 200) if res else ("", 404)
-        if os.path.exists(path):
-            res = [x for x in map(loadPreset(path), os.listdir(path)) if x]
-            return json.dumps(res, ensure_ascii=False, separators=(",", ":")), 200
-        return "[]", 200
+        store = _store(pType)
+        if values.get("data"):
+            return store.save(values["data"]), 200
+        if values.get("name"):
+            text = store.fetch(values["name"])
+            return (text, 200) if text else ("", 404)
+        return json.dumps(store.listBriefs(), **COMPACT), 200
     except Exception:
         return "", 403

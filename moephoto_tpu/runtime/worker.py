@@ -1,9 +1,20 @@
-"""Worker-process task runtime (reference ``python/worker.py``): binds
-the progress root, wraps task handlers with error capture and logging,
-and runs the pipe-driven task loop."""
+"""Worker-process task runtime.
+
+The worker side of the two-process split (SURVEY.md section 5): owns the
+progress tree, decorates task handlers with structured error capture,
+and services requests arriving over the mp.Pipe.  Progress callbacks
+stream ``{eta, gone, total, stage}`` dicts to the server through the
+notifier pipe; learned op timings persist via progress.saveOps.
+
+Where the reference empties the CUDA allocator between tasks
+(worker.py:71-72), JAX frees device buffers when their last Python
+reference drops, so inter-task cleanup is a prompt GC pass; compiled
+executables are deliberately retained (recompiling costs seconds).
+"""
 
 from __future__ import annotations
 
+import gc
 from traceback import format_exc
 
 from moephoto_tpu.config import config
@@ -13,100 +24,111 @@ from moephoto_tpu.utils.logger import initLogging
 
 log = initLogging(config.logPath).getLogger("Moe")
 opsPath = config.opsPath
-getInfo = lambda f, args: [f.__name__] + [filterOpt(arg) for arg in args]
 
 
-def filterOpt(item):
-    if isinstance(item, dict) and "opt" in item:
-        res = item.copy()
-        del res["opt"]
-        return res
-    return item
+def _describeCall(f, args):
+    """Loggable call signature with model opts elided (they hold arrays)."""
+
+    def strip(a):
+        if isinstance(a, dict) and "opt" in a:
+            return {k: v for k, v in a.items() if k != "opt"}
+        return a
+
+    return [f.__name__] + [strip(a) for a in args]
+
+
+filterOpt = lambda item: _describeCall(lambda: 0, [item])[1]
+getInfo = _describeCall
+
+
+def _notify(payload: dict):
+    if context.notifier is not None:
+        context.notifier.send(payload)
+
+
+def onProgress(node, kwargs={}):
+    """Progress-tree callback: root ETA summary + per-stage detail."""
+    root = context.root
+    payload = dict(eta=root.eta, gone=root.gone, total=root.total) if root else {}
+    payload.update(kwargs)
+    saveOps(opsPath)
+    if hasattr(node, "name") and node.gone < node.total:
+        payload["stage"] = node.name
+        if node.total > 1:
+            payload["stageProgress"] = node.gone
+            payload["stageTotal"] = node.total
+    _notify(payload)
 
 
 def begin(root, nodes=[], setAllCallback=True, bench=False, clear=False):
+    """Rebuild the progress tree under ``root`` and wire callbacks.
+
+    ``setAllCallback``: truthy → every named node reports; falsy → only
+    the root; negative → reporting disabled (headless bench runs).
+    """
     context.root = root
     root.nodes = []
-    for n in nodes:
-        root.append(n)
-    if setAllCallback:
-        if not setAllCallback < 0:
-            setCallback(root, onProgress, True, bench)
-    else:
+    for node in nodes:
+        root.append(node)
+    if not setAllCallback:
         root.setCallback(onProgress)
+    elif setAllCallback > 0:
+        setCallback(root, onProgress, True, bench)
     clearOps(root, clear)
     initialETA(root)
     return root
 
 
-def onProgress(node, kwargs={}):
-    res = (
-        {
-            "eta": context.root.eta,
-            "gone": context.root.gone,
-            "total": context.root.total,
-        }
-        if context.root
-        else {}
-    )
-    res.update(kwargs)
-    saveOps(opsPath)
-    if hasattr(node, "name") and node.gone < node.total:
-        res["stage"] = node.name
-        if node.total > 1:
-            res["stageProgress"] = node.gone
-            res["stageTotal"] = node.total
-    if context.notifier is not None:
-        context.notifier.send(res)
-
-
-def enhance(f, verbose=True):
-    """Wrap a task handler: exceptions -> structured Fail result; device
-    caches dropped in finally (reference worker.py:52-74)."""
-
-    def g(*args, **kwargs):
-        try:
-            res = {"result": f(*args, **kwargs)}
-            code = 200
-            saveOps(opsPath, True)
-            if verbose:
-                log.info(getInfo(f, args))
-        except Exception:
-            info = getInfo(f, args)
-            log.exception(info)
-            res = {"result": "Fail", "call": info, "exception": format_exc()}
-            code = 400
-            if context.notifier is not None:
-                context.notifier.send(res)
-        finally:
-            clean()
-        return res, code
-
-    return g
-
-
 def clean():
-    """Between-task device cleanup (the analog of
-    ``torch.cuda.empty_cache``, reference worker.py:71-72).  JAX device
-    buffers are freed by GC when the last reference drops; compiled
-    executables are deliberately kept (recompiling them costs seconds).
-    A gc pass promptly releases the previous task's intermediates."""
-    import gc
-
+    """Release the previous task's device intermediates promptly."""
     gc.collect()
 
 
+def enhance(f, verbose=True):
+    """Decorate a task handler to return ``(body, status)``.
+
+    Success → ``{'result': ...}, 200`` (and the op-timing file is
+    flushed); any exception → ``{'result': 'Fail', 'call', 'exception'},
+    400`` pushed through the notifier so the client sees the failure
+    without polling.
+    """
+
+    def run(*args, **kwargs):
+        called = _describeCall(f, args)
+        try:
+            body = {"result": f(*args, **kwargs)}
+            saveOps(opsPath, True)
+            if verbose:
+                log.info(called)
+            return body, 200
+        except Exception:
+            log.exception(called)
+            body = {"result": "Fail", "call": called, "exception": format_exc()}
+            _notify(body)
+            return body, 400
+        finally:
+            clean()
+
+    return run
+
+
 def worker(main, taskIn, taskOut, notifier, stopEvent, isWindows):
-    """Task loop over the mp.Pipe (reference worker.py:76-94)."""
+    """Blocking request loop over the task pipe.
+
+    ``main()`` returns the shared-memory handle and the route table;
+    each message is ``(routeName, *args)`` and the handler's
+    ``(body, status)`` is sent straight back.
+    """
     mm, routes = main()
-    context.sharedView = mm.buf if not isWindows else memoryview(mm)
-    context.shared = mm.buf.obj if not isWindows else mm
+    if isWindows:
+        context.shared, context.sharedView = mm, memoryview(mm)
+    else:
+        context.shared, context.sharedView = mm.buf.obj, mm.buf
     context.shared.seek(0)
     context.notifier = notifier
     context.stopFlag = stopEvent
     loadOps(opsPath)
     while True:
-        task = taskIn.recv()
+        name, *args = taskIn.recv()
         stopEvent.clear()
-        result = routes[task[0]](*task[1:])
-        taskOut.send(result)
+        taskOut.send(routes[name](*args))

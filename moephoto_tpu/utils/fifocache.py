@@ -1,45 +1,42 @@
-"""FIFO result cache with eviction callback (reference
-``python/FIFOcache.py``)."""
+"""Bounded FIFO result cache with an eviction callback.
 
-from collections import deque
+Serves the role of the reference's session-note/result cache: oldest
+entry is evicted when capacity is reached, missing keys return a
+default, and dict values merge on update.  Built on OrderedDict rather
+than an explicit queue.
+"""
 
-Null = lambda *_: None
+from collections import OrderedDict
 
 
 class Cache:
-    def __init__(self, size, default=None, onExtinct=Null):
-        self.cache = {}
-        self.size = size
-        self.queue = deque()
+    def __init__(self, size, default=None, onExtinct=None):
+        self._data: OrderedDict = OrderedDict()
+        self._capacity = size
         self.default = default
-        self.extinct = onExtinct
+        self._onEvict = onExtinct
 
     def put(self, key, item):
-        if len(self.queue) == self.size:
-            while len(self.queue):
-                oldKey = self.queue.popleft()
-                if oldKey in self.cache:
-                    oldItem = self.cache[oldKey]
-                    del self.cache[oldKey]
-                    self.extinct(oldKey, oldItem)
-                    break
-        self.cache[key] = item
-        self.queue.append(key)
+        if key in self._data:
+            # refresh insertion order like a queue re-append would
+            self._data.move_to_end(key)
+            self._data[key] = item
+            return
+        while len(self._data) >= self._capacity:
+            oldKey, oldItem = self._data.popitem(last=False)
+            if self._onEvict:
+                self._onEvict(oldKey, oldItem)
+        self._data[key] = item
 
     def pop(self, key):
-        if key in self.cache:
-            res = self.cache[key]
-            del self.cache[key]
-            return res
-        return self.default
+        return self._data.pop(key, self.default)
 
     def update(self, key, item):
-        if key in self.cache and isinstance(self.cache[key], dict) and isinstance(item, dict):
-            old = self.cache[key]
-            old.update(item)
-        else:
-            old = item
-        return self.put(key, old)
+        existing = self._data.get(key)
+        if isinstance(existing, dict) and isinstance(item, dict):
+            existing.update(item)
+            item = existing
+        self.put(key, item)
 
     def peek(self, key):
-        return key in self.cache
+        return key in self._data

@@ -1,13 +1,15 @@
-"""Video pipeline orchestration (reference ``python/video.py``).
+"""Video pipeline orchestration over ffmpeg raw-frame pipes.
 
-ffmpeg decodes to raw ``bgr48le`` frames (6 B/px) over a pipe; frames
-stream through the compiled step pipeline (with temporal-model splice
-points) and raw output frames feed a second ffmpeg encode process.
-Reference-frame accounting for segment resume (lookback/lookahead per
-temporal step) follows ``video.py:146-264`` exactly.
+Protocol (shared with the reference so presets/clients behave the
+same): decode to raw ``bgr48le`` (6 B/px) on stdout, stream frames
+through the compiled step pipeline, feed output frames to an encoder's
+stdin; audio is either muxed straight from the source file (uploads),
+extracted and merged afterwards (URL/cmd sources), or dropped for
+video-only streams.  Reference-frame accounting for segment resume
+(lookback/lookahead per temporal step) follows ``video.py:146-264``.
 
-When ffmpeg is unavailable (dev images), a raw-file frame source/sink
-with the same byte protocol keeps the engine testable.
+ffmpeg commands are assembled by explicit builders keyed on the audio
+strategy; a fake-ffmpeg harness (tools/fakeffmpeg.py) drives the tests.
 """
 
 from __future__ import annotations
@@ -29,65 +31,44 @@ from moephoto_tpu.runtime.context import context
 from moephoto_tpu.runtime.worker import begin
 
 log = logging.getLogger("Moe")
-qOut: Queue = Queue(256)
+
+PIX_FMT = "bgr48le"
+BYTES_PER_PIXEL = 6
+PIPE_BUFSIZE = 10**8
+VIDEO_EXTS = {".mp4", ".ts", ".mkv"}
+
 stepVideo = [dict(op="buffer", bitDepth=16)]
-pix_fmt = "bgr48le"
-pixBytes = 6
-bufsize = 10**8
-isWindows = sys.platform[:3] == "win"
-reMatchInfo = re.compile(r"Stream #.*: Video:")
-reSearchInfo = re.compile(r",[\s]*([\d]+)x([\d]+)[\s]*.+,[\s]*([.\d]+)[\s]*(fps|tbr)")
-reMatchFrame = re.compile(r"frame=")
-reSearchFrame = re.compile(r"frame=[\s]*([\d]+) ")
-reMatchAudio = re.compile(r"Stream #0:1")
-reMatchOutput = re.compile(r"Output #0,")
-formats = {".mp4", ".ts", ".mkv"}
-sigint = signal.SIGINT
+qOut: Queue = Queue(256)
+
+_reStreamInfo = re.compile(r"Stream #.*: Video:")
+_reGeometry = re.compile(r",[\s]*([\d]+)x([\d]+)[\s]*.+,[\s]*([.\d]+)[\s]*(fps|tbr)")
+_reFrameLine = re.compile(r"frame=")
+_reFrameCount = re.compile(r"frame=[\s]*([\d]+) ")
+_reAudioStream = re.compile(r"Stream #0:1")
+_reOutputBanner = re.compile(r"Output #0,")
 
 resizeOp = {"SR", "resize", "VSR"}
 padOp = {"VSR", "demob"}
 
 
-def lookbackOf(op):
+def _temporalWindow(op: str):
+    """(lookback, lookahead) reference frames per temporal op
+    (video.py:37-38)."""
     if op == "slomo":
         from moephoto_tpu.models.ifrnet import RefTime
 
-        return RefTime >> 1
+        return RefTime >> 1, (RefTime - 1) >> 1
     if op == "VSR":
         from moephoto_tpu.models.iconvsr import RefTime
 
-        return RefTime >> 1
-    from moephoto_tpu.models.estrnn import pastFrames
+        return RefTime >> 1, (RefTime - 1) >> 1
+    from moephoto_tpu.models.estrnn import futureFrames, pastFrames
 
-    return pastFrames
-
-
-def lookaheadOf(op):
-    if op == "slomo":
-        from moephoto_tpu.models.ifrnet import RefTime
-
-        return (RefTime - 1) >> 1
-    if op == "VSR":
-        from moephoto_tpu.models.iconvsr import RefTime
-
-        return (RefTime - 1) >> 1
-    from moephoto_tpu.models.estrnn import futureFrames
-
-    return futureFrames
+    return pastFrames, futureFrames
 
 
-def ffmpegPath():
-    return config.ffmpegPath
-
-
-popen = lambda command: sp.Popen(command, stdout=sp.PIPE, stderr=sp.PIPE, bufsize=bufsize)
-popenText = lambda command: sp.Popen(command, stderr=sp.PIPE, encoding="utf_8", errors="ignore")
-insert1 = lambda t, s: "".join((t[0], s, *t[1:]))
-splitext = os.path.splitext
-fixExt = lambda t: "".join((*t[:-1], t[-1] if t[-1] in formats else ".mkv"))
-suffix = lambda p, s: insert1(splitext(p), s)
-clipList = lambda l, start, end: l[:start] + l[end:]
-commandVideoSkip = lambda command: clipList(command, 15, 25)
+lookbackOf = lambda op: _temporalWindow(op)[0]
+lookaheadOf = lambda op: _temporalWindow(op)[1]
 
 
 def removeFile(path):
@@ -99,128 +80,196 @@ def removeFile(path):
         log.error(str(e))
 
 
-def getVideoInfo(videoPath, by, width, height, frameRate):
-    """Probe stream info by parsing ffmpeg stderr (video.py:57-120)."""
-    commandIn = [
-        ffmpegPath(), "-hide_banner", "-t", "1", "-f", "lavfi", "-i", videoPath,
-        "-map", "0:v:0", "-c", "copy", "-f", "null", "-",
+def _withExt(path: str) -> str:
+    base, ext = os.path.splitext(path)
+    return path if ext in VIDEO_EXTS else base + ".mkv"
+
+
+def _suffixed(path: str, tag: str) -> str:
+    base, ext = os.path.splitext(path)
+    return base + tag + ext
+
+
+# --------------------------------------------------------------------------
+# ffmpeg commands
+# --------------------------------------------------------------------------
+
+
+def _inputArgs(video: str, by) -> list:
+    """-i arguments; lavfi demuxer for synthetic/cmd sources."""
+    return (["-f", "lavfi"] if by == "cmd" else []) + ["-i", video]
+
+
+def buildProbeCommand(video: str, by, countFrames: bool) -> list:
+    cmd = [config.ffmpegPath, "-hide_banner"]
+    if not countFrames:
+        cmd += ["-t", "1"]
+    cmd += _inputArgs(video, by)
+    cmd += ["-map", "0:v:0", "-c", "copy", "-f", "null", "-"]
+    return cmd
+
+
+def buildDecodeCommand(video: str, by, decodec: str, audioPath) -> list:
+    cmd = [config.ffmpegPath, "-hide_banner"]
+    cmd += _inputArgs(video, by)
+    if audioPath:  # split non-video tracks for a later merge
+        cmd += ["-vn", "-c", "copy", "-y", audioPath]
+    cmd += [
+        "-sws_flags", "spline+accurate_rnd+full_chroma_int",
+        "-color_trc", "2", "-colorspace", "2", "-color_primaries", "2",
+        "-map", "0:v", "-f", "rawvideo", "-pix_fmt", PIX_FMT,
     ]
-    matchInfo = not (width and height and frameRate)
-    matchFrame = not by
-    matchOutput = True
-    error = RuntimeError("Video info not found")
-    videoOnly = True
-    if by != "cmd":
-        commandIn = clipList(commandIn, 4, 6)
-    if matchFrame:
-        commandIn = clipList(commandIn, 2, 4)
-    procIn = popenText(commandIn)
+    if decodec:
+        cmd += decodec.split(" ")
+    cmd.append("-")
+    return cmd
+
+
+def buildEncodeCommand(
+    geometry: str, fps, encodec: str, target: str, audioFrom=None
+) -> list:
+    """Encoder reading raw frames on stdin; ``audioFrom`` optionally muxes
+    the non-video tracks of another file in the same pass."""
+    meta = ["-metadata", 'service_provider="MoePhoto-TPU {}"'.format(config.version)]
+    cmd = [
+        config.ffmpegPath, "-hide_banner", "-y",
+        "-f", "rawvideo", "-pix_fmt", PIX_FMT,
+        "-s", geometry, "-r", str(fps),
+        "-thread_queue_size", "64", "-i", "-",
+    ]
+    if audioFrom:
+        cmd += ["-i", audioFrom, "-map", "0:v", "-map", "1?", "-map", "-1:v",
+                "-c:1", "copy"]
+    cmd += meta + ["-c:v:0"] + encodec.split(" ") + [target]
+    return cmd
+
+
+def buildMergeCommand(videoPath: str, audioPath: str, target: str) -> list:
+    meta = ["-metadata", 'service_provider="MoePhoto-TPU {}"'.format(config.version)]
+    return [
+        config.ffmpegPath, "-hide_banner", "-y",
+        "-i", videoPath, "-i", audioPath,
+        "-map", "0:v", "-map", "1?", "-c:0", "copy", "-c:1", "copy",
+        *meta, target,
+    ]
+
+
+# --------------------------------------------------------------------------
+# probing / subprocess plumbing
+# --------------------------------------------------------------------------
+
+
+def getVideoInfo(videoPath, by, width, height, frameRate):
+    """Parse geometry/fps/frame-count/audio from ffmpeg stderr."""
+    needInfo = not (width and height and frameRate)
+    needFrames = not by
+    cmd = buildProbeCommand(videoPath, by, needFrames)
+    proc = sp.Popen(cmd, stderr=sp.PIPE, encoding="utf_8", errors="ignore")
     totalFrames = 0
+    videoOnly = True
+    sawOutput = False
     try:
-        while matchInfo or matchOutput or matchFrame:
-            line = procIn.stderr.readline()
-            if not isinstance(line, str):
-                line = str(line, "utf-8", errors="ignore")
+        while True:
+            line = proc.stderr.readline()
             if not line:
                 break
             line = line.lstrip()
-            if reMatchOutput.match(line):
-                matchOutput = False
-            elif reMatchAudio.match(line):
+            if _reOutputBanner.match(line):
+                sawOutput = True
+            elif _reAudioStream.match(line):
                 videoOnly = False
-            if matchInfo and reMatchInfo.match(line):
-                try:
-                    videoInfo = reSearchInfo.search(line).groups()
-                    width = width or int(videoInfo[0])
-                    height = height or int(videoInfo[1])
-                    frameRate = frameRate or float(videoInfo[2])
-                except Exception:
+            if needInfo and _reStreamInfo.match(line):
+                m = _reGeometry.search(line)
+                if not m:
                     log.error(line)
-                    raise error
-                matchInfo = False
-            if matchFrame and reMatchFrame.match(line):
-                try:
-                    totalFrames = int(reSearchFrame.search(line).groups()[0])
-                except Exception:
-                    log.error(line)
-        procIn.stderr.close()
+                    raise RuntimeError("Video info not found")
+                width = width or int(m.group(1))
+                height = height or int(m.group(2))
+                frameRate = frameRate or float(m.group(3))
+                needInfo = False
+            if needFrames and _reFrameLine.match(line):
+                m = _reFrameCount.search(line)
+                if m:
+                    totalFrames = int(m.group(1))
+            if not needInfo and sawOutput and (totalFrames or not needFrames):
+                # keep draining briefly; loop exits on EOF
+                pass
+        proc.stderr.close()
     finally:
-        procIn.terminate()
-    if matchInfo or (matchFrame and not totalFrames):
-        raise error
-    log.info(
-        "Info of video %s: %dx%d@%sfps, %d frames", videoPath, width, height, frameRate, totalFrames
-    )
+        proc.terminate()
+    if needInfo or (not by and not totalFrames):
+        raise RuntimeError("Video info not found")
+    log.info("Video %s: %dx%d@%s, %d frames", videoPath, width, height, frameRate, totalFrames)
     return width, height, frameRate, totalFrames, videoOnly
 
 
-def enqueueOutput(out, queue):
-    try:
-        for line in iter(out.readline, b""):
-            queue.put(line)
-        out.flush()
-    except Exception:
-        queue.put("FFMpeg output pipe Exception")
+def _drainThread(pipe):
+    def pump():
+        try:
+            for line in iter(pipe.readline, b""):
+                qOut.put(line)
+            pipe.flush()
+        except Exception:
+            qOut.put("ffmpeg pipe exception")
 
-
-def createEnqueueThread(pipe, *args):
-    t = threading.Thread(target=enqueueOutput, args=(pipe, qOut, *args))
-    t.daemon = True
+    t = threading.Thread(target=pump, daemon=True)
     t.start()
 
 
-def readSubprocess(q):
+def _echoDrained():
     while True:
         try:
-            line = q.get_nowait()
-            if not isinstance(line, str):
-                line = str(line, encoding="utf_8", errors="replace")
+            line = qOut.get_nowait()
         except Empty:
             break
-        else:
-            sys.stdout.write(line)
+        if not isinstance(line, str):
+            line = str(line, encoding="utf_8", errors="replace")
+        sys.stdout.write(line)
+
+
+# --------------------------------------------------------------------------
+# step-chain preparation (reference video.py:146-264 semantics)
+# --------------------------------------------------------------------------
 
 
 def prepare(video, by, steps):
-    """Compile the step chain and compute per-temporal-step reference
-    frame bookkeeping (video.py:146-264)."""
     optEncode = steps[-1]
-    encodec = optEncode.get("codec", config.defaultEncodec)
     optDecode = steps[0]
-    decodec = optDecode.get("codec", config.defaultDecodec)
     optRange = steps[1]
-    start = int(optRange.get("start", 0))
-    outDir = config.outDir
+    encodec = optEncode.get("codec", config.defaultEncodec)
+    decodec = optDecode.get("codec", config.defaultDecodec)
+    start = max(0, int(optRange.get("start", 0)))
     procSteps = stepVideo + list(steps[2:-1])
     diagnose = optEncode.get("diagnose", {})
-    bench = diagnose.get("bench", False)
-    clear = diagnose.get("clear", False)
     process, nodes = genProcess(procSteps)
-    traceDetail = config.progressDetail or bench
-    root = begin(Node({"op": "video"}, 1, 2, 0), nodes, traceDetail, bench, clear)
+    root = begin(
+        Node({"op": "video"}, 1, 2, 0),
+        nodes,
+        config.progressDetail or diagnose.get("bench", False),
+        diagnose.get("bench", False),
+        diagnose.get("clear", False),
+    )
     context.root = root
-    slomos = [step for step in procSteps if step["op"] == "slomo"]
-    refs, ahead = 0, 0
-    if start < 0:
-        start = 0
+
+    # reference-frame bookkeeping for mid-video starts and stream tails
     cumStart = start
     for step in procSteps:
         if step["op"] == "slomo":
             step["opt"].start = cumStart
             cumStart *= step["sf"]
-    for i in range(len(procSteps) - 1, -1, -1):
-        step = procSteps[i]
+    refs, ahead = 0, 0
+    for step in reversed(procSteps):
         if step["op"] == "slomo":
             step["opt"].outStart = -refs % step["sf"] if refs else 1
             step["opt"].outEnd = -(-ahead % step["sf"])
-            refs = max(ceil(refs / step["sf"]), lookbackOf(step["op"]))
-            ahead = max(ceil(ahead / step["sf"]), lookaheadOf(step["op"]))
+            refs = max(ceil(refs / step["sf"]), lookbackOf("slomo"))
+            ahead = max(ceil(ahead / step["sf"]), lookaheadOf("slomo"))
         elif step["op"] in padOp:
             step["opt"].start = 0
             step["opt"].end = 0
             refs += lookbackOf(step["op"])
             ahead += lookaheadOf(step["op"])
-    if start < refs:
+    if start < refs:  # not enough decoded frames to serve as references
         arefs = start
         for step in procSteps:
             if arefs >= refs:
@@ -235,153 +284,153 @@ def prepare(video, by, steps):
         start = 0
     else:
         start -= refs
+
     stop = int(optRange.get("stop", -1))
     if stop <= start:
         stop = -1
     root.total = -1 if stop < 0 else stop - start
-    outputPath = fixExt(splitext(optEncode.get("file", "") or outDir + "/" + config.getPath()))
-    dataPath = suffix(outputPath, "-a")
-    commandIn = [
-        ffmpegPath(), "-hide_banner", "-f", "lavfi", "-i", video, "-vn", "-c", "copy",
-        "-y", dataPath,
-        "-sws_flags", "spline+accurate_rnd+full_chroma_int",
-        "-color_trc", "2", "-colorspace", "2", "-color_primaries", "2",
-        "-map", "0:v", "-f", "rawvideo", "-pix_fmt", pix_fmt,
-    ]
-    if by != "cmd":
-        commandIn = clipList(commandIn, 2, 4)
-    if len(decodec):
-        commandIn.extend(decodec.split(" "))
-    commandIn.append("-")
-    metadata = ["-metadata", 'service_provider="MoePhoto-TPU {}"'.format(config.version)]
-    commandVideo = [
-        ffmpegPath(), "-hide_banner", "-y", "-f", "rawvideo", "-pix_fmt", pix_fmt,
-        "-s", "", "-r", "", "-thread_queue_size", "64", "-i", "-", "-i", dataPath,
-        "-map", "0:v", "-map", "1?", "-map", "-1:v", "-c:1", "copy", *metadata, "-c:v:0",
-    ] + encodec.split(" ") + [""]
-    commandOut = None
-    if by:
-        commandVideo[-1] = suffix(outputPath, "-v")
-        commandOut = [
-            ffmpegPath(), "-hide_banner", "-y", "-i", commandVideo[-1], "-i", dataPath,
-            "-map", "0:v", "-map", "1?", "-c:0", "copy", "-c:1", "copy", *metadata,
-            outputPath,
-        ]
-    else:
-        commandVideo[16] = video
-    frameRate = optEncode.get("frameRate", 0)
-    width = optDecode.get("width", 0)
-    height = optDecode.get("height", 0)
-    sizes = [step for step in procSteps if step["op"] in resizeOp]
-    return (
-        outputPath, process, start, stop, ahead, root, commandIn, commandVideo,
-        commandOut, slomos, sizes, width, height, frameRate,
+
+    outputPath = _withExt(optEncode.get("file", "") or config.outDir + "/" + config.getPath())
+    slomos = [s for s in procSteps if s["op"] == "slomo"]
+    sizes = [s for s in procSteps if s["op"] in resizeOp]
+    return dict(
+        outputPath=outputPath,
+        process=process,
+        start=start,
+        stop=stop,
+        refs=ahead,
+        root=root,
+        by=by,
+        video=video,
+        decodec=decodec,
+        encodec=encodec,
+        slomos=slomos,
+        sizes=sizes,
+        width=optDecode.get("width", 0),
+        height=optDecode.get("height", 0),
+        frameRate=optEncode.get("frameRate", 0),
     )
 
 
-def setupInfo(by, outputPath, root, commandIn, commandVideo, commandOut, slomos, sizes,
-              start, width, height, frameRate, totalFrames, videoOnly):
-    """Output geometry / fps from the step chain (video.py:266-296)."""
+def planCommands(p, width, height, frameRate, totalFrames, videoOnly):
+    """Output geometry + the three command lines, per the audio strategy."""
+    root = p["root"]
     if root.total < 0 and totalFrames > 0:
-        root.total = totalFrames - start
+        root.total = totalFrames - p["start"]
     if frameRate:
-        for opt in slomos:
+        for opt in p["slomos"]:
             frameRate *= opt["sf"]
-    outWidth, outHeight = (width, height)
-    for opt in sizes:
+    outW, outH = width, height
+    for opt in p["sizes"]:
         if opt["op"] == "SR":
-            outWidth *= opt["scale"]
-            outHeight *= opt["scale"]
+            outW *= opt["scale"]
+            outH *= opt["scale"]
         elif opt["op"] == "VSR":
-            outWidth *= 4
-            outHeight *= 4
+            outW *= 4
+            outH *= 4
         else:
-            outWidth = round(outWidth * opt["scaleW"]) if "scaleW" in opt else opt["width"]
-            outHeight = round(outHeight * opt["scaleH"]) if "scaleH" in opt else opt["height"]
-    commandVideo[8] = f"{outWidth}x{outHeight}"
-    commandVideo[10] = str(frameRate)
-    videoOnly |= start > 0
-    if videoOnly or by:
-        commandVideo = commandVideoSkip(commandVideo)
-    if videoOnly or not by:
-        commandVideo[-1] = outputPath
-        i = commandIn.index("-vn")
-        commandIn = clipList(commandIn, i, i + 5)
-        commandOut = None
+            outW = round(outW * opt["scaleW"]) if "scaleW" in opt else opt["width"]
+            outH = round(outH * opt["scaleH"]) if "scaleH" in opt else opt["height"]
+    geometry = f"{outW}x{outH}"
+    videoOnly |= p["start"] > 0
+    outputPath = p["outputPath"]
+    audioPath = _suffixed(outputPath, "-a")
+
+    mergeCmd = None
+    if videoOnly:
+        # no other tracks: decode video only, encode straight to target
+        decodeCmd = buildDecodeCommand(p["video"], p["by"], p["decodec"], None)
+        encodeCmd = buildEncodeCommand(geometry, frameRate, p["encodec"], outputPath)
+    elif p["by"]:
+        # URL/cmd source: split audio now, merge after encoding
+        decodeCmd = buildDecodeCommand(p["video"], p["by"], p["decodec"], audioPath)
+        tempVideo = _suffixed(outputPath, "-v")
+        encodeCmd = buildEncodeCommand(geometry, frameRate, p["encodec"], tempVideo)
+        mergeCmd = buildMergeCommand(tempVideo, audioPath, outputPath)
+    else:
+        # uploaded file: mux audio straight from the source in one pass
+        decodeCmd = buildDecodeCommand(p["video"], p["by"], p["decodec"], None)
+        encodeCmd = buildEncodeCommand(
+            geometry, frameRate, p["encodec"], outputPath, audioFrom=p["video"]
+        )
     root.multipleLoad(width * height * 3)
     initialETA(root)
     root.reset().trace(0)
-    return commandIn, commandVideo, commandOut
+    return decodeCmd, encodeCmd, mergeCmd
 
 
-def cleanAV(command, path):
-    if command:
-        try:
-            stat = os.stat(path)
-        except Exception:
-            stat = False
-        removeFile(command[6])
-        video = command[4]
-        if stat:
-            removeFile(video)
-        else:
-            return video
-    return path
+def _mergeTracks(mergeCmd):
+    if not mergeCmd:
+        return 0, 0
+    proc = sp.Popen(mergeCmd, stderr=sp.PIPE, encoding="utf_8", errors="ignore")
+    _drainThread(proc.stderr)
+    err, msg = proc.communicate()
+    sys.stdout.write(msg or "")
+    return proc, err
 
 
-def mergeAV(command):
-    if command:
-        procMerge = popenText(command)
-        createEnqueueThread(procMerge.stderr)
-        err, msg = procMerge.communicate()
-        sys.stdout.write(msg or "")
-        return procMerge, err
-    return 0, 0
+def _cleanupMerge(mergeCmd, outputPath):
+    """Remove intermediates after a merge (temp video + audio)."""
+    if not mergeCmd:
+        return outputPath
+    tempVideo, audioPath = mergeCmd[4], mergeCmd[6]
+    merged = os.path.exists(outputPath)
+    removeFile(audioPath)
+    if merged:
+        removeFile(tempVideo)
+        return outputPath
+    return tempVideo
+
+
+# --------------------------------------------------------------------------
+# main loop
+# --------------------------------------------------------------------------
 
 
 def SR_vid(video, by, *steps):
-    """Main video loop (video.py:323-397)."""
+    context.stopFlag.clear()
+    p = prepare(video, by, steps)
+    process, start, stop, refs, root = (
+        p["process"], p["start"], p["stop"], p["refs"], p["root"],
+    )
+    root.callback(root, dict(eta=100000))
+    width, height, *info = getVideoInfo(video, by, p["width"], p["height"], p["frameRate"])
+    root.callback(root, dict(shape=[height, width], fps=info[0], eta=60000))
+    decodeCmd, encodeCmd, mergeCmd = planCommands(p, width, height, *info)
 
-    def p(raw_image=None):
-        bufs = process((raw_image, height, width))
-        if bufs is not None and len(bufs):
+    procIn = sp.Popen(decodeCmd, stdout=sp.PIPE, stderr=sp.PIPE, bufsize=PIPE_BUFSIZE)
+    procOut = sp.Popen(encodeCmd, stdin=sp.PIPE, stdout=sp.PIPE, stderr=sp.PIPE, bufsize=0)
+    procMerge = 0
+    mergeErr = 0
+    i = 0
+    raw = b""
+    outputPath = p["outputPath"]
+
+    def push(rawFrame=None):
+        bufs = process((rawFrame, height, width))
+        if bufs:
             for buffer in bufs:
                 if buffer:
                     procOut.stdin.write(buffer)
         return 0 if bufs is None else len(bufs)
 
-    context.stopFlag.clear()
-    outputPath, process, *args = prepare(video, by, steps)
-    start, stop, refs, root = args[:4]
-    root.callback(root, dict(eta=100000))
-    width, height, *more = getVideoInfo(video, by, *args[-3:])
-    root.callback(root, dict(shape=[height, width], fps=more[0], eta=60000))
-    commandIn, commandVideo, commandOut = setupInfo(
-        by, outputPath, *args[3:9], start, width, height, *more
-    )
-    procIn = popen(commandIn)
-    procOut = sp.Popen(commandVideo, stdin=sp.PIPE, stdout=sp.PIPE, stderr=sp.PIPE, bufsize=0)
-    procMerge = 0
-    err = 0
-    i = 0
-    raw_image = b""
     try:
-        createEnqueueThread(procOut.stdout)
-        createEnqueueThread(procIn.stderr)
-        createEnqueueThread(procOut.stderr)
-        frameBytes = width * height * pixBytes
+        _drainThread(procOut.stdout)
+        _drainThread(procIn.stderr)
+        _drainThread(procOut.stderr)
+        frameBytes = width * height * BYTES_PER_PIXEL
         while (stop < 0 or i <= stop + refs) and not context.stopFlag.is_set():
-            raw_image = procIn.stdout.read(frameBytes)
-            if len(raw_image) == 0:
+            raw = procIn.stdout.read(frameBytes)
+            if len(raw) == 0:
                 break
-            readSubprocess(qOut)
+            _echoDrained()
             if i >= start:
-                p(raw_image)
+                push(raw)
             elif (i + 1) % 10 == 0:
                 root.callback(root, dict(skip=i + 1))
             i += 1
-        os.kill(procIn.pid, sigint)
-        if len(raw_image) == 0:  # tell temporal steps to pad the tail
+        os.kill(procIn.pid, signal.SIGINT)
+        if len(raw) == 0:  # stream ended: tell temporal steps to pad tails
             arefs = 0 if stop <= 0 or i < stop else i - stop
             for step in steps:
                 if arefs >= refs:
@@ -393,11 +442,11 @@ def SR_vid(video, by, *steps):
                 elif step["op"] in padOp:
                     step["opt"].end = -min(refs - arefs, lookaheadOf(step["op"]))
                     refs += step["opt"].end
-        p()
+        push()
         procOut.communicate(timeout=300)
         procIn.terminate()
-        readSubprocess(qOut)
-        procMerge, err = mergeAV(commandOut)
+        _echoDrained()
+        procMerge, mergeErr = _mergeTracks(mergeCmd)
     finally:
         log.info("Video processing end at frame #%d.", i - refs)
         procIn.terminate()
@@ -409,9 +458,9 @@ def SR_vid(video, by, *steps):
                 removeFile(video)
         except Exception:
             log.warning("Could not remove %s.", video)
-        if err:
-            log.warning("Unable to merge video and other tracks: %s.", err)
+        if mergeErr:
+            log.warning("Track merge failed: %s.", mergeErr)
         else:
-            outputPath = cleanAV(commandOut, outputPath)
-    readSubprocess(qOut)
+            outputPath = _cleanupMerge(mergeCmd, outputPath)
+    _echoDrained()
     return outputPath, i - refs
