@@ -35,9 +35,9 @@ def benchTPU():
     from moephoto_tpu.models.sr import moeNetLite2x4
     from __graft_entry__ import _lite2Params
 
-    params = _lite2Params(4)
+    params = packBlockDiag(_lite2Params(4), 2)  # 96-ch plane packing
     spec = TileSpec(tile=256, pad=5, align=8, scale=4.0, batch=8)  # calibrated
-    ex = ModelExec(moeNetLite2x4, params, spec, channelSplit=True, name="lite4")
+    ex = ModelExec(moeNetLite2x4, params, spec, channelSplit=False, pack=2, name="lite4")
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
     # NOTE: on the tunneled axon platform block_until_ready returns

@@ -301,6 +301,22 @@ def interleaveDeferred(x: jnp.ndarray) -> jnp.ndarray:
     return y.reshape(b, h * R, w * C, c)
 
 
+def interleaveNested(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Nested deferred layout -> spatial.
+
+    x: (b, h, w, 2, 2, ..., 2, 2, c) with ``n`` (row, col) sub-position
+    axis pairs appended in stage order (earlier stages outermost: fine
+    row = ((a1*2 + a2)*2 + ...)).  One transpose at the very end — run
+    it on the 1-channel output so the strided copy is tiny.
+    """
+    b, h, w = x.shape[:3]
+    c = x.shape[-1]
+    rows = [3 + 2 * i for i in range(n)]
+    cols = [4 + 2 * i for i in range(n)]
+    y = jnp.transpose(x, (0, 1, *rows, 2, *cols, 3 + 2 * n))
+    return y.reshape(b, h << n, w << n, c)
+
+
 # --------------------------------------------------------------------------
 # Weight conversion
 # --------------------------------------------------------------------------

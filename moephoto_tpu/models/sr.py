@@ -18,6 +18,7 @@ from moephoto_tpu.models.api import (
     getPrecision,
     globalAvgPool,
     interleaveDeferred,
+    interleaveNested,
     leakyRelu,
     prelu,
     sigmoid,
@@ -154,8 +155,8 @@ def makeMoeNetLite2(upscale: int = 2):
     pointwise (1x1 convs + PReLU + final 1x1 heads), so instead of
     materializing spatially-interleaved tensors per stage (a strided
     512^2 transpose that dominated profiles at ~19 ms/stage), sub-pixel
-    offsets are carried as extra channel axes (b, h, w, R, C, 48) and
-    interleaved ONCE on the 1-channel output.  Bit-identical math —
+    offsets are carried as nested trailing axes (b, h, w, 2, 2, ..., 48)
+    and interleaved ONCE on the 1-channel output.  Bit-identical math —
     only the data layout of intermediates changes.
     """
     nUps = int(upscale).bit_length() - 1
@@ -170,27 +171,23 @@ def makeMoeNetLite2(upscale: int = 2):
         return y.astype(x.dtype)
 
     def upStage(params: Params, p: str, x: jnp.ndarray) -> jnp.ndarray:
-        # x: (b, h, w, R, C, 48) -> (b, h, w, 2R, 2C, 48).  One matmul per
-        # sub-position, stacked straight into the target layout: skips the
-        # post-matmul 8D permute of the 192-channel tensor (60 -> 40 ms
-        # per 24-plane chunk, bit-identical).
-        b, h, w, R, C, c = x.shape
+        # x: (b, h, w, <subpos...>, c) -> same + a trailing (2, 2) pair.
+        # ONE matmul with the weight's output columns pre-ordered
+        # (row, col, co): N=192 keeps the MXU's lane blocks 2x fuller
+        # than four N=48 calls, and appending the sub-position axes
+        # nested (instead of merging into (2R, 2C)) removes the per-stage
+        # interleaving stacks entirely — the single strided transpose
+        # happens on the 1-channel output in interleaveNested.
+        c = x.shape[-1]
         wFull = params[p + ".0.weight"][0, 0]  # (c, c*4), cols = co*4+a*2+b_
-        bias = params[p + ".0.bias"]
-        w4 = wFull.reshape(c, c, 2, 2)
-        bias4 = bias.reshape(c, 2, 2)
-        rows = []
-        for a in range(2):
-            cols = []
-            for b_ in range(2):
-                y = jnp.dot(
-                    x, w4[:, :, a, b_].astype(x.dtype),
-                    precision=getPrecision(), preferred_element_type=jnp.float32,
-                ) + bias4[:, a, b_].astype(jnp.float32)
-                cols.append(y.astype(x.dtype))  # (b,h,w,R,C,c)
-            rows.append(jnp.stack(cols, axis=5))  # (b,h,w,R,C,2,c)
-        y = jnp.stack(rows, axis=4)  # (b,h,w,R,2,C,2,c)
-        y = y.reshape(b, h, w, 2 * R, 2 * C, c)
+        wp = wFull.reshape(c, c, 2, 2)  # (cin, co, a, b_)
+        wp = jnp.transpose(wp, (0, 2, 3, 1)).reshape(c, 4 * c)  # cols (a,b_,co)
+        bp = jnp.transpose(params[p + ".0.bias"].reshape(c, 2, 2), (1, 2, 0))
+        y = jnp.dot(
+            x, wp.astype(x.dtype),
+            precision=getPrecision(), preferred_element_type=jnp.float32,
+        ) + bp.reshape(-1).astype(jnp.float32)
+        y = y.astype(x.dtype).reshape(x.shape[:-1] + (2, 2, c))
         return prelu(params, p + ".2", y)
 
     def apply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
@@ -198,16 +195,14 @@ def makeMoeNetLite2(upscale: int = 2):
         conv1 = conv2d(params, "conv_input2", out)
         f = _lb(params, "convt_F11", conv1)
         f = _lb(params, "convt_F12", f)
-        f = _lb(params, "convt_F13", f)
-        b, h, w, c = f.shape
-        res = f.reshape(b, h, w, 1, 1, c)
-        im = out.reshape(b, h, w, 1, 1, c)
+        res = _lb(params, "convt_F13", f)
+        im = out
         for i in range(nUps):
             res = upStage(params, f"ures.{i}", res)
             im = upStage(params, f"uim.{i}", im)
         hr = pointwise(params, "convt_R1", res) + pointwise(params, "convt_I1", im)
         # single final interleave on the (1- or pack-) channel map
-        return interleaveDeferred(hr)
+        return interleaveNested(hr, nUps)
 
     return apply
 
