@@ -32,12 +32,12 @@ def benchTPU():
     from moephoto_tpu.engine.executor import ModelExec
     from moephoto_tpu.engine.tiling import TileSpec
     from moephoto_tpu.models.api import packBlockDiag
-    from moephoto_tpu.models.sr import moeNetLite2x4
+    from moephoto_tpu.models.sr import moeNetLite2x4F
     from __graft_entry__ import _lite2Params
 
     params = packBlockDiag(_lite2Params(4), 2)  # 96-ch plane packing
     spec = TileSpec(tile=256, pad=5, align=8, scale=4.0, batch=8)  # calibrated
-    ex = ModelExec(moeNetLite2x4, params, spec, channelSplit=False, pack=2, name="lite4")
+    ex = ModelExec(moeNetLite2x4F, params, spec, channelSplit=False, pack=2, name="lite4")
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
     # NOTE: on the tunneled axon platform block_until_ready returns

@@ -148,7 +148,7 @@ def _lb(params: Params, p: str, x: jnp.ndarray) -> jnp.ndarray:
     return frm(params, p + ".se", out) + x
 
 
-def makeMoeNetLite2(upscale: int = 2):
+def makeMoeNetLite2(upscale: int = 2, fused: bool = False):
     """MoeNet_lite2 with TPU-fused upsampling.
 
     Everything after the first pixel shuffle in the reference is
@@ -197,6 +197,16 @@ def makeMoeNetLite2(upscale: int = 2):
         f = _lb(params, "convt_F12", f)
         res = _lb(params, "convt_F13", f)
         im = out
+        if fused:
+            # whole up path + heads in one VMEM-resident Pallas kernel
+            from moephoto_tpu.ops.fusedup import fusedUpHeads
+
+            b, h, w, c = res.shape
+            flat = fusedUpHeads(
+                params, res.reshape(-1, c), im.reshape(-1, c), nUps
+            )
+            hr = flat.reshape((b, h, w) + (2, 2) * nUps + (-1,))
+            return interleaveNested(hr, nUps)
         for i in range(nUps):
             res = upStage(params, f"ures.{i}", res)
             im = upStage(params, f"uim.{i}", im)
@@ -210,3 +220,9 @@ def makeMoeNetLite2(upscale: int = 2):
 moeNetLite2x2 = makeMoeNetLite2(2)
 moeNetLite2x4 = makeMoeNetLite2(4)
 moeNetLite2x8 = makeMoeNetLite2(8)
+# TPU production variants (Pallas fused up path; used by the registry
+# when compute runs in bf16 — the XLA path above stays the CPU/parity
+# reference)
+moeNetLite2x2F = makeMoeNetLite2(2, fused=True)
+moeNetLite2x4F = makeMoeNetLite2(4, fused=True)
+moeNetLite2x8F = makeMoeNetLite2(8, fused=True)

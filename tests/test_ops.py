@@ -182,3 +182,31 @@ def test_pack_block_diag_parity():
     a = np.asarray(exSplit(x))
     b = np.asarray(exPack(x))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_fused_up_heads_kernel():
+    """Pallas fused up-path kernel (interpret mode) matches the XLA
+    nested-deferred path bit-for-bit at fp32, for all lite scales."""
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _lite2Params
+    from moephoto_tpu.models import sr as S
+    from moephoto_tpu.ops import fusedup
+
+    for ups in (2, 4, 8):
+        params = {
+            k: jnp.asarray(np.asarray(v), jnp.float32)
+            for k, v in _lite2Params(ups, seed=3).items()
+        }
+        rng = np.random.RandomState(ups)
+        x = jnp.asarray(rng.rand(2, 16, 16, 1).astype(np.float32))
+        ref = S.makeMoeNetLite2(ups)(params, x)
+        orig = fusedup.fusedUpHeads
+        fusedup.fusedUpHeads = lambda *a, **k: orig(*a, interpret=True, **k)
+        try:
+            got = S.makeMoeNetLite2(ups, fused=True)(params, x)
+        finally:
+            fusedup.fusedUpHeads = orig
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-6, err_msg=f"x{ups}"
+        )
