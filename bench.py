@@ -36,7 +36,7 @@ def benchTPU():
     from __graft_entry__ import _lite2Params
 
     params = packBlockDiag(_lite2Params(4), 2)  # 96-ch plane packing
-    spec = TileSpec(tile=256, pad=5, align=8, scale=4.0, batch=8)  # calibrated
+    spec = TileSpec(tile=256, pad=5, align=8, scale=4.0, batch=10)  # calibrated
     ex = ModelExec(moeNetLite2x4F, params, spec, channelSplit=False, pack=2, name="lite4")
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))

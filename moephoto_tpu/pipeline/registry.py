@@ -94,7 +94,7 @@ _entry_packed = lambda *a, **k: _entry(*a, **{**k, "packed": True})
 # --- SR registry (runSR.py:10-24) -----------------------------------------
 _SPEC_Y_SR = lambda sc: TileSpec(tile=256, pad=9 if sc == 3 else 5, align=8, scale=sc, batch=8 if sc <= 2 else 4)
 _SPEC_GAN = lambda sc: TileSpec(tile=192, pad=8, align=4, scale=sc, batch=4)
-_SPEC_LITE = lambda sc: TileSpec(tile=256, pad=5, align=8, scale=sc, batch=8 if sc <= 4 else 2)  # calibrated (tools/calibrate.py)
+_SPEC_LITE = lambda sc: TileSpec(tile=256, pad=5, align=8, scale=sc, batch=10 if sc <= 4 else 2)  # calibrated (tools/calibrate.py)
 
 SR_REGISTRY = {
     "a2": _entry_packed("sr", "net2x", "model/a2/model_new.pth", _SPEC_Y_SR(2), channelSplit=True),
