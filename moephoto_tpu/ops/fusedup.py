@@ -56,41 +56,37 @@ def _kernel(nUps, cout, dtype, *refs):
     stageRefs = refs[2 : 2 + 6 * nUps]
     hrRef, hbrRef, hiRef, hbiRef, outRef = refs[2 + 6 * nUps :]
 
-    def expand(x, stages):
-        streams = [x]
-        for wRef, bRef, sRef in stages:
-            w = wRef[...]
-            b = bRef[...]
-            s = sRef[...]
-            s32 = s.astype(jnp.float32)
-            nxt = []
-            for cur in streams:
-                for sub in range(4):
-                    y = (
-                        jnp.dot(cur, w[sub], preferred_element_type=jnp.float32)
-                        + b[sub]
-                    )
-                    # select in f32: v5e Mosaic rejects bf16 comparisons
-                    nxt.append(jnp.where(y >= 0, y, s32 * y).astype(dtype))
-            streams = nxt
-        return streams
+    def loadStages(sRefs):
+        return [(w[...], b[...], s[...].astype(jnp.float32)) for w, b, s in sRefs]
 
-    resStages = [stageRefs[6 * i : 6 * i + 3] for i in range(nUps)]
-    imStages = [stageRefs[6 * i + 3 : 6 * i + 6] for i in range(nUps)]
-    res = expand(xresRef[...], resStages)
-    im = expand(ximRef[...], imStages)
+    resStages = loadStages(stageRefs[6 * i : 6 * i + 3] for i in range(nUps))
+    imStages = loadStages(stageRefs[6 * i + 3 : 6 * i + 6] for i in range(nUps))
+
+    def finals(x, stages):
+        """Depth-first leaf streams: keeps O(nUps) live streams instead of
+        4**nUps, so larger row tiles fit the register budget."""
+        if not stages:
+            yield x
+            return
+        (w, b, s32), rest = stages[0], stages[1:]
+        for sub in range(4):
+            y = jnp.dot(x, w[sub], preferred_element_type=jnp.float32) + b[sub]
+            # select in f32: v5e Mosaic rejects bf16 comparisons
+            y = jnp.where(y >= 0, y, s32 * y).astype(dtype)
+            yield from finals(y, rest)
 
     hr, hbr = hrRef[...], hbrRef[...]
     hi, hbi = hiRef[...], hbiRef[...]
     cols = []
-    for r, m in zip(res, im):
+    for r, m in zip(
+        finals(xresRef[...], resStages), finals(ximRef[...], imStages)
+    ):
         r32 = r.astype(jnp.float32)
         m32 = m.astype(jnp.float32)
         for plane in range(cout):
-            # head contraction on the VPU: full-lane multiply + reduce
-            zr = jnp.sum(r32 * hr[plane], axis=1, keepdims=True) + hbr[0, plane]
-            zi = jnp.sum(m32 * hi[plane], axis=1, keepdims=True) + hbi[0, plane]
-            cols.append(zr.astype(dtype) + zi.astype(dtype))
+            # both heads in one full-lane VPU multiply-add + reduce
+            z = jnp.sum(r32 * hr[plane] + m32 * hi[plane], axis=1, keepdims=True)
+            cols.append((z + (hbr[0, plane] + hbi[0, plane])).astype(dtype))
     outRef[...] = jnp.concatenate(cols, axis=1)
 
 
