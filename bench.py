@@ -140,9 +140,124 @@ def benchDetail():
         }
     except Exception as e:
         detail["chain_DNlite5_SRlite4_1080p"] = {"error": str(e).splitlines()[0][:120]}
+    for name, fn in (("video_ESTRNN_720p", _benchESTRNN), ("video_IFRNet_slomo2x_720p", _benchIFRNet)):
+        try:
+            detail[name] = {"Mpx_per_s": fn()}
+        except Exception as e:
+            detail[name] = {"error": str(e).splitlines()[0][:120]}
     detail["psnr_bf16_vs_torch_fp32_dB"] = psnrVsReference()
     with open("BENCH_DETAIL.json", "w") as fp:
         json.dump(detail, fp, indent=2)
+
+
+def _refVideoParams(modules, convT):
+    """Random-init reference torch modules -> converted param dict
+    (ESTRNN/IFRNet checkpoints are LFS-stripped in the mirror, so video
+    throughput is measured with seeded random weights — same FLOPs)."""
+    import jax.numpy as jnp
+
+    from moephoto_tpu.models.api import convertStateDict
+
+    params = {}
+    for prefix, mod in modules:
+        flat = {f"{prefix}.{k}": v.numpy() for k, v in mod.state_dict().items()}
+        conv = convertStateDict(flat, convT)
+        params.update({k: jnp.asarray(v, jnp.bfloat16) for k, v in conv.items()})
+    return params
+
+
+def _refModules():
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from refshim import importReference
+
+    importReference()
+    import torch
+
+    torch.manual_seed(0)
+    cwd = os.getcwd()
+    os.chdir("/root/reference")
+    try:
+        import ESTRNN as RE
+        import IFRNet as RI
+    finally:
+        os.chdir(cwd)
+    return RE, RI
+
+
+def _timeStream(g, frames, warm):
+    """Wall-clock frames through a stream graph; device-side reduce per
+    output, one host sync at the end (tunnel readback would otherwise
+    dominate)."""
+    import jax
+
+    vals = []
+    for fr in frames[:warm]:
+        vals.extend(g(fr))
+    _ = [float(v) for v in vals]
+    t0 = time.perf_counter()
+    vals = []
+    for fr in frames[warm:]:
+        vals.extend(g(fr))
+    _ = [float(v) for v in vals]
+    return time.perf_counter() - t0
+
+
+def _benchESTRNN(h=720, w=1280, n=14, warm=6):
+    import jax
+    import jax.numpy as jnp
+
+    from moephoto_tpu.models import estrnn as JE
+    from moephoto_tpu.progress import Node
+
+    RE, _ = _refModules()
+    params = _refVideoParams(
+        [("cell", RE.RDBCell(RE.para)), ("fusion", RE.GSA(RE.para)),
+         ("recons", RE.Reconstructor())],
+        convT=lambda k, s: k in ("recons.0.weight", "recons.1.weight"),
+    )
+    opt = JE.ESTRNNOpt()
+    opt.params = params
+    opt.dtype = jnp.bfloat16
+    opt.start = 0
+    opt.end = 0
+    red = jax.jit(lambda v: jnp.mean(v.astype(jnp.float32)))
+    g = JE.doESTRNN(lambda x: [red(x)], Node({"op": "t"}), opt)
+    rng = np.random.RandomState(0)
+    frames = [jnp.asarray(rng.rand(h, w, 3).astype(np.float32)) for _ in range(n)]
+    dt = _timeStream(g, frames, warm)
+    return round((n - warm) * h * w / 1e6 / dt, 3)
+
+
+def _benchIFRNet(h=720, w=1280, n=12, warm=5):
+    import jax
+    import jax.numpy as jnp
+
+    from moephoto_tpu.models import ifrnet as JI
+    from moephoto_tpu.progress import Node
+
+    _, RI = _refModules()
+    chs = RI.Channels["M"]
+    params = _refVideoParams(
+        [("encoder", RI.IFRNetEncoder(None, chs, 1e-3)),
+         ("decoder", RI.IFRNetDecoder(None, chs, RI.SideChannels["M"], 0, 1e-3))],
+        convT=lambda k, s: k.startswith("decoder.decoders.") and k.endswith(".2.weight"),
+    )
+    opt = JI.IFRNetOpt()
+    opt.params = params
+    opt.dtype = jnp.bfloat16
+    opt.chs = chs
+    opt.side = RI.SideChannels["M"]
+    opt.sf = 2.0
+    opt.dedupe = False
+    opt.ensemble = 0
+    opt.start = 0
+    opt.end = 0
+    red = jax.jit(lambda v: jnp.mean(v.astype(jnp.float32)))
+    g = JI.doSlomo(lambda x: [red(x)], Node({"op": "t"}), opt)
+    rng = np.random.RandomState(0)
+    frames = [jnp.asarray(rng.rand(h, w, 3).astype(np.float32)) for _ in range(n)]
+    dt = _timeStream(g, frames, warm)
+    return round((n - warm) * h * w / 1e6 / dt, 3)
 
 
 def psnrVsReference():
