@@ -100,14 +100,69 @@ def _decodeLevel(params: Params, i: int, x: jnp.ndarray, side: int) -> jnp.ndarr
     return convTranspose2d(params, p + ".2", y, stride=2, padding=1)
 
 
+# Spatial TTA transforms on (k, H, W, c), matching the reference's
+# trans/transInv tables (imageProcess.py:564-570; NCHW flip(-1) == our
+# axis-2 flip, transpose(-1,-2) == swap axes 1,2).  Inverse table maps
+# 3<->4; the rest are self-inverse.
+_T = lambda x: jnp.swapaxes(x, 1, 2)
+_F = lambda x: x[:, :, ::-1]
+_TRANS = [
+    _T,
+    _F,
+    lambda x: x[:, ::-1, ::-1],
+    lambda x: _T(_F(x)),
+    lambda x: _F(_T(x)),
+    lambda x: _T(_F(_T(x))),
+    lambda x: _T(x[:, ::-1, ::-1]),
+]
+_TRANS_INV = [_TRANS[j] for j in (0, 1, 2, 4, 3, 5, 6)]
+
+
+def _decodeFlowLevel(params: Params, i: int, x: jnp.ndarray, side: int) -> jnp.ndarray:
+    """Level decode with the final ConvTranspose truncated to the 4 flow
+    channels (reference FlowDecoder, IFRNet.py:87-92 + setSize :118-129:
+    same weights, output rows :4)."""
+    p = f"decoder.decoders.{i}"
+    y = _convrelu(params, p + ".0", x)
+    y = _resBlock(params, p + ".1", y, side)
+    key = p + ".2"
+    sub = {
+        key + ".weight": params[key + ".weight"][..., :4],
+        key + ".bias": params[key + ".bias"][:4],
+    }
+    return convTranspose2d(sub, key, y, stride=2, padding=1)
+
+
+def _flowEnsemble(params: Params, i: int, xF: jnp.ndarray, side: int, n: int):
+    """Sum of inverse-transformed flow-only decodes over the first ``n``
+    TTA transforms (reference ensembling, IFRNet.py:93 + :146-149).
+    Like the reference, flow CHANNELS are left untouched — only the
+    spatial layout is untransformed."""
+
+    def group(idxs):
+        if not idxs:
+            return 0
+        xs = jnp.concatenate([_TRANS[j](xF) for j in idxs], axis=0)
+        ys = _decodeFlowLevel(params, i, xs, side)
+        parts = jnp.split(ys, len(idxs), axis=0)
+        return sum(_TRANS_INV[j](y) for j, y in zip(idxs, parts))
+
+    same = group([j for j in (1, 2, 5) if j < n])  # shape-preserving
+    swapped = group([j for j in (0, 3, 4, 6) if j < n])  # transposed
+    return same + swapped
+
+
 def decoderApply(
-    params: Params, chs, side: int, feats: List[jnp.ndarray], embt: jnp.ndarray
+    params: Params, chs, side: int, feats: List[jnp.ndarray], embt: jnp.ndarray,
+    ensemble: int = 0,
 ) -> jnp.ndarray:
     """Coarse-to-fine decoder for ONE frame pair (IFRNet.py:94-159).
 
     feats: 4 levels small->large, each (2, h_l, w_l, c_l).
     embt: (k,) interpolation times -> returns (k, 4+extra, ...) final
     level output (flows 4ch, mask 1ch, residual 3ch at half res * 2).
+    ensemble (0..7): per-level flow TTA, averaging the base flows with
+    ``ensemble`` transformed flow-only decodes (IFRNet.py:146-149).
     """
     k = embt.shape[0]
     f0 = feats[0]
@@ -130,6 +185,11 @@ def decoderApply(
             args = (ftRes, f0w, f1w, upFlow0, upFlow1)
         xF = jnp.concatenate(args, axis=-1)
         out = _decodeLevel(params, i, xF, side)
+        if ensemble:
+            flows = out[..., :4] + _flowEnsemble(params, i, xF, side, ensemble)
+            out = jnp.concatenate(
+                [flows / (ensemble + 1), out[..., 4:]], axis=-1
+            )
         f0_ = out[..., :2]
         f1_ = out[..., 2:4]
         ftRes = out[..., 4:]
@@ -285,16 +345,7 @@ def getOpt(option: dict) -> IFRNetOpt:
     opt.dedupe = bool(option.get("dedupe", False))
     opt.dedupeLow = float(option.get("low", 0.5))
     opt.dedupeHigh = float(option.get("high", 0.993))
-    opt.ensemble = int(option.get("ensemble", 0))
-    if opt.ensemble:
-        # flow-only decoder self-ensemble (reference IFRNet.py:113-128)
-        # is not yet implemented TPU-side; fall back to the plain path
-        import logging
-
-        logging.getLogger("Moe").warning(
-            "IFRNet flow ensemble not yet supported on TPU; using ensemble=0"
-        )
-        opt.ensemble = 0
+    opt.ensemble = min(int(option.get("ensemble", 0)), 7)
     import torch
 
     raw = torch.load(
@@ -368,7 +419,9 @@ def doSlomo(func, node, opt: IFRNetOpt):
             return [(embt, None)]
         if k not in decJit:
             decJit[k] = jax.jit(
-                lambda p, f, t: decoderApply(p, opt.chs, opt.side, f, t)
+                lambda p, f, t: decoderApply(
+                    p, opt.chs, opt.side, f, t, ensemble=opt.ensemble
+                )
             )
         out = decJit[k](opt.params, feat, jnp.asarray(embt[0]).astype(opt.dtype))
         return [(embt, out)]

@@ -232,3 +232,70 @@ def test_iconvsr_full_pipeline_golden(refEnv):
     for i, (r, m) in enumerate(zip(outRef, mine)):
         np.testing.assert_allclose(m, r.transpose(1, 2, 0), atol=2e-4,
                                    err_msg=f"frame {i}")
+
+
+@needsReference
+def test_ifrnet_flow_ensemble_golden(refEnv):
+    """Flow-only decoder TTA (ensemble=5 exercises both the
+    shape-preserving (1,2) and transposed (0,3,4) transform groups,
+    including the 3<->4 inverse swap) vs the reference pipeline."""
+    torch, ckptDir = refEnv
+    import IFRNet as RI
+    import imageProcess
+    from progress import Node as RNode
+
+    import jax.numpy as jnp
+
+    from moephoto_tpu.models import ifrnet as JI
+    from moephoto_tpu.progress import Node
+
+    # the reference caches initModel results globally under the keys
+    # 'encoder'/'decoder' (imageProcess.py:544, runSlomo.py:32), so the
+    # previous golden's weights would leak into this getOpt
+    imageProcess.modelCache.clear()
+    torch.manual_seed(1)
+    chs = RI.Channels["S"]
+    enc = RI.IFRNetEncoder(None, chs, 1e-3)
+    dec = RI.IFRNetDecoder(None, chs, RI.SideChannels["S"], 0, 1e-3)
+    path = os.path.join(ckptDir, "ifrnet_ens.pth")
+    torch.save({"encoder": enc.state_dict(), "decoder": dec.state_dict()}, path)
+    old = RI.modelPaths["S"]
+    RI.modelPaths["S"] = path
+    try:
+        ropt = RI.getOpt({"model": "IFRNet S", "sf": 2, "ensemble": 5})
+    finally:
+        RI.modelPaths["S"] = old
+    ropt.start = 0
+    ropt.end = 0
+    outRef = []
+    f = RI.doSlomo(
+        lambda im: outRef.append(im.detach().float().numpy()) or [],
+        RNode({"op": "t"}, learn=0),
+        ropt,
+    )
+    rng = np.random.RandomState(1)
+    frames = [rng.rand(3, 128, 128).astype(np.float32) for _ in range(3)]
+    for fr in frames:
+        f(torch.from_numpy(fr))
+    f(None)
+
+    params = _convert(
+        [("encoder", enc.state_dict()), ("decoder", dec.state_dict())],
+        convT=lambda k, s: k.startswith("decoder.decoders.") and k.endswith(".2.weight"),
+    )
+    opt = JI.IFRNetOpt()
+    opt.params = params
+    opt.dtype = jnp.float32
+    opt.chs = chs
+    opt.side = RI.SideChannels["S"]
+    opt.sf = 2.0
+    opt.dedupe = False
+    opt.ensemble = 5
+    mine = []
+    g = JI.doSlomo(lambda x: [np.asarray(x)], Node({"op": "t"}), opt)
+    for fr in frames:
+        mine.extend(g(jnp.asarray(fr.transpose(1, 2, 0))))
+    mine.extend(g(None))
+    assert len(outRef) == len(mine) == 1 + 2 * (len(frames) - 1)
+    for r, m in zip(outRef, mine):
+        np.testing.assert_allclose(m, r.transpose(1, 2, 0), atol=2e-4)
