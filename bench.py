@@ -185,24 +185,29 @@ def _refModules():
 
 
 def _timeStream(g, frames, warm):
-    """Wall-clock frames through a stream graph; device-side reduce per
-    output, one host sync at the end (tunnel readback would otherwise
-    dominate)."""
-    import jax
+    """Wall-clock frames through a stream graph, syncing once per frame
+    (one stacked reduce per frame: a real pipeline reads every frame
+    back anyway, and unsynced feeding lets stream-stage batch sizes grow
+    into fresh shapes that recompile inside the timed window)."""
+    import jax.numpy as jnp
 
-    vals = []
+    def step(fr):
+        vals = g(fr)
+        if vals:
+            _ = float(jnp.stack(vals).sum())
+
     for fr in frames[:warm]:
-        vals.extend(g(fr))
-    _ = [float(v) for v in vals]
+        step(fr)
     t0 = time.perf_counter()
-    vals = []
     for fr in frames[warm:]:
-        vals.extend(g(fr))
-    _ = [float(v) for v in vals]
+        step(fr)
     return time.perf_counter() - t0
 
 
-def _benchESTRNN(h=720, w=1280, n=14, warm=6):
+def _benchESTRNN(h=720, w=1280, n=22, warm=12):
+    # warm must cover every stream-stage batch shape: late shapes would
+    # otherwise compile inside the timed window (first-run 6.9 vs
+    # steady-state 17.4 Mpx/s)
     import jax
     import jax.numpy as jnp
 
@@ -228,7 +233,7 @@ def _benchESTRNN(h=720, w=1280, n=14, warm=6):
     return round((n - warm) * h * w / 1e6 / dt, 3)
 
 
-def _benchIFRNet(h=720, w=1280, n=12, warm=5):
+def _benchIFRNet(h=720, w=1280, n=18, warm=10):
     import jax
     import jax.numpy as jnp
 
