@@ -41,15 +41,28 @@ def gridSample(
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
+    Ho, Wo = gx.shape[1], gx.shape[2]
+    # channel-major gather (table (C, B*H*W), one flat index vector) runs
+    # ~2x the row-form take_along_axis once B*C is large (batched feature
+    # warps); for small B*C the two lower identically (docs/PERF.md)
+    channelMajor = B * C >= 64
+    if channelMajor:
+        tableT = jnp.transpose(img.reshape(B * H * W, C))
+        bOff = (jnp.arange(B, dtype=jnp.int32) * (H * W)).reshape(B, 1, 1)
+
     def sample(yi, xi):
         yc = jnp.clip(yi, 0, H - 1)
         xc = jnp.clip(xi, 0, W - 1)
-        flatIdx = yc * W + xc  # (B, Ho, Wo)
-        flatImg = img.reshape(B, H * W, C)
-        got = jnp.take_along_axis(
-            flatImg, flatIdx.reshape(B, -1, 1), axis=1
-        )  # (B, Ho*Wo, C)
-        got = got.reshape(flatIdx.shape + (C,))
+        if channelMajor:
+            got = tableT[:, (bOff + yc * W + xc).reshape(-1)]  # (C, B*Ho*Wo)
+            got = jnp.transpose(got).reshape(B, Ho, Wo, C)
+        else:
+            flatIdx = yc * W + xc  # (B, Ho, Wo)
+            flatImg = img.reshape(B, H * W, C)
+            got = jnp.take_along_axis(
+                flatImg, flatIdx.reshape(B, -1, 1), axis=1
+            )  # (B, Ho*Wo, C)
+            got = got.reshape(flatIdx.shape + (C,))
         if padding_mode == "zeros":
             valid = (yi >= 0) & (yi <= H - 1) & (xi >= 0) & (xi <= W - 1)
             got = got * valid[..., None].astype(got.dtype)
