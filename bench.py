@@ -140,7 +140,11 @@ def benchDetail():
         }
     except Exception as e:
         detail["chain_DNlite5_SRlite4_1080p"] = {"error": str(e).splitlines()[0][:120]}
-    for name, fn in (("video_ESTRNN_720p", _benchESTRNN), ("video_IFRNet_slomo2x_720p", _benchIFRNet)):
+    for name, fn in (
+        ("DN_NAFNet32_1080p", _benchNAFNet),
+        ("video_ESTRNN_720p", _benchESTRNN),
+        ("video_IFRNet_slomo2x_720p", _benchIFRNet),
+    ):
         try:
             detail[name] = {"Mpx_per_s": fn()}
         except Exception as e:
@@ -202,6 +206,44 @@ def _timeStream(g, frames, warm):
     for fr in frames[warm:]:
         step(fr)
     return time.perf_counter() - t0
+
+
+def _benchNAFNet(h=1080, w=1920):
+    """NAFNet-SIDD-32 restore at 1080p (checkpoint LFS-stripped: seeded
+    random weights from the reference module, same FLOPs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from moephoto_tpu.engine.executor import ModelExec
+    from moephoto_tpu.engine.tiling import TileSpec
+    from moephoto_tpu.models.nafnet import nafNetSIDD32
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from refshim import importReference
+
+    importReference()
+    import torch
+
+    torch.manual_seed(0)
+    cwd = os.getcwd()
+    os.chdir("/root/reference")
+    try:
+        from NAFNet import NAFNet
+    finally:
+        os.chdir(cwd)
+    net = NAFNet(width=32, middle_blk_num=12, enc_blk_nums=[2, 2, 4, 8],
+                 dec_blk_nums=[2, 2, 2, 2])
+    params = _refVideoParams([("", net)], convT=None)
+    params = {k.lstrip("."): v for k, v in params.items()}
+    ex = ModelExec(nafNetSIDD32, params, TileSpec(256, 16, 16, 1.0, 4), name="naf32")
+    red = jax.jit(lambda v: jnp.mean(v))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(h, w, 3).astype(np.float32))
+    float(red(ex(x)))
+    t0 = time.perf_counter()
+    vals = [red(ex(x)) for _ in range(4)]
+    _ = sum(float(v) for v in vals)
+    return round(h * w / 1e6 / ((time.perf_counter() - t0) / 4), 3)
 
 
 def _benchESTRNN(h=720, w=1280, n=22, warm=12):

@@ -75,9 +75,9 @@ def _lazyImport(family: str):
 def _entry(family, fn, path, spec, channelSplit=False, outC=None, prepare=None,
            convT=None, fp32=False, noTile=False, packed=False):
     # packed: Y-channel model executed plane-packed (pack=2 block-diagonal
-    # weights) — ~2.3x for conv-heavy trunks (netDN), ~1.35x for MyNet;
-    # the lite family is elementwise-bound after the deferred-subpixel
-    # rewrite and stays plane-batched (measured slightly faster).
+    # weights) — ~2.3x for conv-heavy trunks (netDN), ~1.35x for MyNet,
+    # ~1.13x for lite (conv-bound once its up path moved into the fused
+    # Pallas kernel; see docs/PERF.md).
     return dict(family=family, fn=fn, path=path, spec=spec, channelSplit=channelSplit,
                 outC=outC, prepare=prepare, convT=convT, fp32=fp32, noTile=noTile,
                 packed=packed)
