@@ -142,8 +142,10 @@ def benchDetail():
         detail["chain_DNlite5_SRlite4_1080p"] = {"error": str(e).splitlines()[0][:120]}
     for name, fn in (
         ("DN_NAFNet32_1080p", _benchNAFNet),
+        ("DN_SEDN_1080p", _benchSEDN),
         ("video_ESTRNN_720p", _benchESTRNN),
         ("video_IFRNet_slomo2x_720p", _benchIFRNet),
+        ("video_IconVSR_4x_360p", _benchIconVSR),
     ):
         try:
             detail[name] = {"Mpx_per_s": fn()}
@@ -236,6 +238,43 @@ def _benchNAFNet(h=1080, w=1920):
     params = _refVideoParams([("", net)], convT=None)
     params = {k.lstrip("."): v for k, v in params.items()}
     ex = ModelExec(nafNetSIDD32, params, TileSpec(256, 16, 16, 1.0, 4), name="naf32")
+    red = jax.jit(lambda v: jnp.mean(v))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(h, w, 3).astype(np.float32))
+    float(red(ex(x)))
+    t0 = time.perf_counter()
+    vals = [red(ex(x)) for _ in range(4)]
+    _ = sum(float(v) for v in vals)
+    return round(h * w / 1e6 / ((time.perf_counter() - t0) / 4), 3)
+
+
+def _benchSEDN(h=1080, w=1920):
+    """SEDN strong denoise at 1080p, plane-packed (l15/l25/l50
+    checkpoints are LFS-stripped: seeded random reference weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from moephoto_tpu.engine.executor import ModelExec
+    from moephoto_tpu.engine.tiling import TileSpec
+    from moephoto_tpu.models.api import packBlockDiag
+    from moephoto_tpu.models.sr import sedn
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from refshim import importReference
+
+    importReference()
+    import torch
+
+    torch.manual_seed(0)
+    cwd = os.getcwd()
+    os.chdir("/root/reference")
+    try:
+        from models import SEDN
+    finally:
+        os.chdir(cwd)
+    params = _refVideoParams([("", SEDN())], convT=None)
+    params = packBlockDiag({k.lstrip("."): v for k, v in params.items()}, 2)
+    ex = ModelExec(sedn, params, TileSpec(256, 7, 8, 1.0, 8), pack=2, name="sedn")
     red = jax.jit(lambda v: jnp.mean(v))
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(h, w, 3).astype(np.float32))
@@ -344,6 +383,69 @@ def psnrVsReference():
         return round(10 * np.log10(1.0 / max(mse, 1e-12)), 2)
     except Exception as e:
         return f"error: {str(e).splitlines()[0][:80]}"
+
+
+def _benchIconVSR(h=360, w=640, n=14, warm=0):
+    """IconVSR 4x video SR on 360p LR frames (checkpoint LFS-stripped:
+    seeded random reference-module weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from moephoto_tpu.models import iconvsr as JV
+    from moephoto_tpu.progress import Node
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from refshim import importReference
+
+    importReference()
+    import torch
+
+    torch.manual_seed(0)
+    cwd = os.getcwd()
+    os.chdir("/root/reference")
+    try:
+        import videoSR as RV
+    finally:
+        os.chdir(cwd)
+    mods = dict(
+        edvr=RV.EDVRFeatureExtractor(7, 64),
+        spynet=RV.SpyNet(),
+        backward_trunk=RV.ConvResidualBlocks(64 + 3, 64, 30),
+        forward_trunk=RV.ConvResidualBlocks(2 * 64 + 3, 64, 30),
+        upsample=RV.Upsample(),
+        backward_fusion=RV.newFusion(),
+        forward_fusion=RV.newFusion(),
+    )
+    params = _refVideoParams([(k, m) for k, m in mods.items()], convT=None)
+    opt = JV.VSROpt()
+    opt.params = params
+    opt.dtype = jnp.bfloat16
+    opt.start = 0
+    opt.end = 0
+    red = jax.jit(lambda v: jnp.mean(v.astype(jnp.float32)))
+    rng = np.random.RandomState(0)
+    frames = [jnp.asarray(rng.rand(h, w, 3).astype(np.float32)) for _ in range(n)]
+
+    def fullRun():
+        # IconVSR buffers whole backward chunks, so the honest unit is a
+        # complete clip: feed everything, flush, sync all outputs
+        opt2 = JV.VSROpt()
+        opt2.params = opt.params
+        opt2.dtype = opt.dtype
+        opt2.start = 0
+        opt2.end = 0
+        vals = []
+        g = JV.doVSR(lambda x: [red(x)], Node({"op": "t"}), opt2)
+        t0 = time.perf_counter()
+        for fr in frames:
+            vals.extend(g(fr))
+        vals.extend(g(None))
+        _ = float(jnp.stack(vals).sum())
+        return time.perf_counter() - t0, len(vals)
+
+    fullRun()  # compile pass (module-level stage jits persist)
+    dt, outs = fullRun()
+    return round(outs * h * w / 1e6 / dt, 3)
 
 
 def main():

@@ -155,15 +155,18 @@ def getOpt(option: dict) -> ESTRNNOpt:
     return opt
 
 
+# module-level stage jits: executables persist across graph instances,
+# so per-task pipeline rebuilds don't re-trace/re-compile known shapes
+cellJit = jax.jit(cellApply)
+gsaJit = jax.jit(gsaApply)
+reconsJit = jax.jit(reconsApply)
+
+
 def doESTRNN(func, node, opt: ESTRNNOpt):
     """Assemble the stream graph (reference ``doESTRNN`` :209-224)."""
     nodes = [Node({"ESTRNN": key}) for key in ("forward", "pooling", "fusion", "recons")]
     graph = StreamGraph()
     sinkList: List = []
-
-    cellJit = jax.jit(cellApply)
-    gsaJit = jax.jit(gsaApply)
-    reconsJit = jax.jit(reconsApply)
 
     hiddenBox = {"h": None}
 

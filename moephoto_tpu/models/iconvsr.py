@@ -262,6 +262,22 @@ def getOpt(*_) -> VSROpt:
     return opt
 
 
+# stage jits at module level: compiled executables are shared across
+# graph instances, so rebuilding the pipeline per video task (worker
+# behavior) costs no re-trace/re-compile for repeated shapes
+edvrJit = jax.jit(edvrApply)
+spyJit = jax.jit(spynetApply)
+bTrunkJit = jax.jit(lambda p, x: trunkApply(p, "backward_trunk", x))
+fTrunkJit = jax.jit(lambda p, x: trunkApply(p, "forward_trunk", x))
+bFusionJit = jax.jit(lambda p, x: conv2d(p, "backward_fusion", x, padding=1))
+fFusionJit = jax.jit(lambda p, x: conv2d(p, "forward_fusion", x, padding=1))
+upJit = jax.jit(
+    lambda p, inp, feat: upsampleApply(p, feat)
+    + resizeBilinear(inp, inp.shape[1] * 4, inp.shape[2] * 4).astype(jnp.float32)
+)
+warpJit = jax.jit(lambda img, flow: backWarp(img, flow))
+
+
 def doVSR(func, node, opt: VSROpt):
     """Assemble the VSR stream graph (reference ``doVSR`` :502-541)."""
     nodes = [
@@ -270,18 +286,6 @@ def doVSR(func, node, opt: VSROpt):
     ]
     graph = StreamGraph()
     sinkList: List = []
-
-    edvrJit = jax.jit(edvrApply)
-    spyJit = jax.jit(spynetApply)
-    bTrunkJit = jax.jit(lambda p, x: trunkApply(p, "backward_trunk", x))
-    fTrunkJit = jax.jit(lambda p, x: trunkApply(p, "forward_trunk", x))
-    bFusionJit = jax.jit(lambda p, x: conv2d(p, "backward_fusion", x, padding=1))
-    fFusionJit = jax.jit(lambda p, x: conv2d(p, "forward_fusion", x, padding=1))
-    upJit = jax.jit(
-        lambda p, inp, feat: upsampleApply(p, feat)
-        + resizeBilinear(inp, inp.shape[1] * 4, inp.shape[2] * 4).astype(jnp.float32)
-    )
-    warpJit = jax.jit(lambda img, flow: backWarp(img, flow))
 
     def kfStage(windows, isKey, last=None):
         out = []

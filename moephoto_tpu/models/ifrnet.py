@@ -369,6 +369,31 @@ def getOpt(option: dict) -> IFRNetOpt:
     return opt
 
 
+# module-level stage jits keyed by static model config: executables are
+# shared across graph instances, so per-task pipeline rebuilds don't
+# re-trace/re-compile known shapes (jax's own cache handles shape/k)
+_stageJits: dict = {}
+postJit = jax.jit(postOutApply)
+
+
+def _encoderJit(chs):
+    key = ("enc", chs)
+    if key not in _stageJits:
+        _stageJits[key] = jax.jit(lambda p, x: encoderApply(p, list(chs), x))
+    return _stageJits[key]
+
+
+def _decoderJit(chs, side, ensemble):
+    key = ("dec", chs, side, ensemble)
+    if key not in _stageJits:
+        _stageJits[key] = jax.jit(
+            lambda p, f, t: decoderApply(
+                p, list(chs), side, f, t, ensemble=ensemble
+            )
+        )
+    return _stageJits[key]
+
+
 def doSlomo(func, node, opt: IFRNetOpt):
     """Assemble the slomo stream graph (reference ``doSlomo``
     IFRNet.py:316-343), with optional dedupe branch.
@@ -387,9 +412,8 @@ def doSlomo(func, node, opt: IFRNetOpt):
     graph = StreamGraph()
     sinkList: List = []
 
-    encJit = jax.jit(lambda p, x: encoderApply(p, opt.chs, x))
-    decJit = {}  # per embt-length jit cache
-    postJit = {}
+    encJit = _encoderJit(tuple(opt.chs))
+    decJit = _decoderJit(tuple(opt.chs), opt.side, opt.ensemble)
 
     listBatch = lambda x: x
 
@@ -417,13 +441,7 @@ def doSlomo(func, node, opt: IFRNetOpt):
         k = len(embt[0])
         if k == 0:
             return [(embt, None)]
-        if k not in decJit:
-            decJit[k] = jax.jit(
-                lambda p, f, t: decoderApply(
-                    p, opt.chs, opt.side, f, t, ensemble=opt.ensemble
-                )
-            )
-        out = decJit[k](opt.params, feat, jnp.asarray(embt[0]).astype(opt.dtype))
+        out = decJit(opt.params, feat, jnp.asarray(embt[0]).astype(opt.dtype))
         return [(embt, out)]
 
     def post(pairs, pairNs, meanPairs, decodes, last=None):
@@ -436,9 +454,7 @@ def doSlomo(func, node, opt: IFRNetOpt):
         for _ in range(int(embt[1])):  # keep-first copies
             res.append(pair[0].astype(jnp.float32))
         if k:
-            if k not in postJit:
-                postJit[k] = jax.jit(postOutApply)
-            preds = postJit[k](
+            preds = postJit(
                 opt.params, pair, pairN, means, jnp.asarray(embt[0]), decoded
             )
             for i in range(k):
