@@ -187,9 +187,15 @@ def buildExec(entry: dict, strength: float = 1.0, ensemble: int = 0,
     mod = _lazyImport(entry["family"])
     fn = getattr(mod, entry["fn"])
     dtype = jnp.float32 if entry["fp32"] else config.dtype()
-    if dtype == jnp.bfloat16 and hasattr(mod, entry["fn"] + "F"):
+    import jax
+
+    if (
+        dtype == jnp.bfloat16
+        and jax.default_backend() != "cpu"
+        and hasattr(mod, entry["fn"] + "F")
+    ):
         # bf16 production path: Pallas-fused variant (TPU only; fp32
-        # parity/CPU runs keep the plain XLA path)
+        # parity runs and CPU-only hosts keep the plain XLA path)
         fn = getattr(mod, entry["fn"] + "F")
     packed = entry.get("packed", False)
     pKey = key + ("|packed" if packed else "")
