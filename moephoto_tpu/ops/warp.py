@@ -9,6 +9,7 @@ slices/gathers on TPU.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -100,3 +101,138 @@ def backWarp(
     ny = 2.0 * (gy / H - 0.5)
     grid = jnp.stack([nx, ny], axis=-1)
     return gridSample(img, grid, align_corners=True, padding_mode=padding_mode)
+
+
+# ---------------------------------------------------------------------------
+# Pallas bounded-flow warp (TPU production path for full-res image warps)
+# ---------------------------------------------------------------------------
+# XLA's gather costs ~21 ms for one (720,1280,3) bilinear warp (pure
+# gather latency).  This kernel tiles the output into (8, 96) blocks,
+# keeps each block's (24, 112) input slab in VMEM, gathers columns along
+# the lane axis (two gathers per output row per channel, indices padded
+# to the slab width — Mosaic requires idx.shape == src.shape) and blends
+# rows as a weighted sublane reduction: 2.3 ms for the same warp (8.2x).
+# Only valid for |flow| <= WARP_MARGIN - 1; callers dispatch through
+# warpBounded's lax.cond fallback.
+
+import functools
+
+from jax import lax
+from jax.experimental import pallas as pl
+
+WARP_MARGIN = 8
+_TH, _TW = 8, 96
+_SH, _SW = _TH + 2 * WARP_MARGIN, _TW + 2 * WARP_MARGIN
+
+
+def _warpKernel(C, dtype, slabRef, flowRef, outRef):
+    M = WARP_MARGIN
+    slab = slabRef[0]          # (_SH, _SW, C)
+    flow = flowRef[0]          # (_TH, _TW, 2)
+    fx = flow[..., 0].astype(jnp.float32)
+    fy = flow[..., 1].astype(jnp.float32)
+    baseX = lax.broadcasted_iota(jnp.int32, (_TH, _TW), 1).astype(jnp.float32) + M
+    baseY = lax.broadcasted_iota(jnp.int32, (_TH, _TW), 0).astype(jnp.float32) + M
+    sx = baseX + fx
+    sy = baseY + fy
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = sx - x0
+    wy = sy - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, _SW - 1)
+    x1i = jnp.clip(x0i + 1, 0, _SW - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, _SH - 1)
+
+    padL = lambda v: jnp.pad(v, ((0, 0), (0, _SW - _TW)))
+    x0p = padL(x0i)
+    x1p = padL(x1i)
+    dIota = lax.broadcasted_iota(jnp.int32, (_SH, _TW), 0)
+    planes = [slab[:, :, c].astype(jnp.float32) for c in range(C)]
+    rowsOut = [[] for _ in range(C)]
+    for r in range(_TH):
+        idx0 = jnp.broadcast_to(x0p[r : r + 1], (_SH, _SW))
+        idx1 = jnp.broadcast_to(x1p[r : r + 1], (_SH, _SW))
+        wxr = wx[r : r + 1]
+        y0r = jnp.broadcast_to(y0i[r : r + 1], (_SH, _TW))
+        wyr = jnp.broadcast_to(wy[r : r + 1], (_SH, _TW))
+        rowW = jnp.where(dIota == y0r, 1.0 - wyr, 0.0) + jnp.where(
+            dIota == y0r + 1, wyr, 0.0
+        )
+        for c in range(C):
+            a0 = jnp.take_along_axis(planes[c], idx0, axis=1)[:, :_TW]
+            a1 = jnp.take_along_axis(planes[c], idx1, axis=1)[:, :_TW]
+            a = a0 * (1.0 - wxr) + a1 * wxr
+            rowsOut[c].append(jnp.sum(a * rowW, axis=0, keepdims=True))
+    for c in range(C):
+        outRef[0, c] = jnp.concatenate(rowsOut[c], axis=0).astype(dtype)
+
+
+def _warpPallas(img, flow, padding_mode, interpret=False):
+    """Tiled warp assuming |flow| <= WARP_MARGIN - 1.
+
+    Border semantics come from the pad fill: 'border' replicates edges
+    (== clamp), 'zeros' zero-fills (== torch zeros-mode contributions).
+    """
+    M = WARP_MARGIN
+    B, H, W, C = img.shape
+    Hp = -(-H // _TH) * _TH
+    Wp = -(-W // _TW) * _TW
+    mode = "edge" if padding_mode == "border" else "constant"
+    pimg = jnp.pad(
+        img, ((0, 0), (M, M + Hp - H), (M, M + Wp - W), (0, 0)), mode=mode
+    )
+    pflow = jnp.pad(flow, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+    nY, nX = Hp // _TH, Wp // _TW
+    rows = jnp.stack(
+        [pimg[:, i * _TH : i * _TH + _SH] for i in range(nY)], axis=1
+    )  # (B, nY, _SH, Wp+2M, C)
+    slabs = jnp.stack(
+        [rows[:, :, :, j * _TW : j * _TW + _SW] for j in range(nX)], axis=2
+    )  # (B, nY, nX, _SH, _SW, C)
+    slabs = slabs.reshape(B * nY * nX, _SH, _SW, C)
+    ft = pflow.reshape(B, nY, _TH, nX, _TW, 2).transpose(0, 1, 3, 2, 4, 5)
+    ft = ft.reshape(B * nY * nX, _TH, _TW, 2)
+    out = pl.pallas_call(
+        functools.partial(_warpKernel, C, img.dtype),
+        grid=(B * nY * nX,),
+        in_specs=[
+            pl.BlockSpec((1, _SH, _SW, C), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, _TH, _TW, 2), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, C, _TH, _TW), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * nY * nX, C, _TH, _TW), img.dtype),
+        interpret=interpret,
+    )(slabs, ft)
+    out = out.reshape(B, nY, nX, C, _TH, _TW).transpose(0, 1, 4, 2, 5, 3)
+    return out.reshape(B, Hp, Wp, C)[:, :H, :W]
+
+
+def warpXLAExact(img, flow, padding_mode="border"):
+    """Exact pixel-offset bilinear warp (sample at x+u, y+v) via the XLA
+    gather sampler — the semantics the Pallas path reproduces (NOT
+    backWarp, whose W/(W-1) normalization quirk shifts samples)."""
+    B, H, W, _ = img.shape
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    gx = xs[None, None, :] + flow[..., 0].astype(jnp.float32)
+    gy = ys[None, :, None] + flow[..., 1].astype(jnp.float32)
+    nx = 2.0 * gx / max(W - 1, 1) - 1.0
+    ny = 2.0 * gy / max(H - 1, 1) - 1.0
+    grid = jnp.stack([nx, ny], axis=-1)
+    return gridSample(img, grid, align_corners=True, padding_mode=padding_mode)
+
+
+def warpBounded(img, flow, padding_mode="border", fallback=None, interpret=False):
+    """Pixel-offset bilinear warp: Pallas fast path when every |flow|
+    component is under WARP_MARGIN - 1, else ``fallback(img, flow)``
+    (both branches trace under lax.cond)."""
+    if fallback is None:
+        fallback = lambda a, f: warpXLAExact(a, f, padding_mode=padding_mode)
+    bound = jnp.max(jnp.abs(flow.astype(jnp.float32)))
+    return jax.lax.cond(
+        bound < WARP_MARGIN - 1.0,
+        lambda a, f: _warpPallas(a, f, padding_mode, interpret=interpret),
+        fallback,
+        img,
+        flow,
+    )

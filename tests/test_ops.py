@@ -210,3 +210,25 @@ def test_fused_up_heads_kernel():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), atol=2e-6, err_msg=f"x{ups}"
         )
+
+
+def test_warp_bounded_kernel():
+    """Pallas bounded-flow warp (interpret mode) matches the exact XLA
+    warp everywhere — including image borders — for both padding modes,
+    and the lax.cond falls back for out-of-bound flows."""
+    import jax.numpy as jnp
+
+    from moephoto_tpu.ops import warp as Wp
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, 40, 112, 3).astype(np.float32))
+    flow = jnp.asarray(((rng.rand(2, 40, 112, 2) * 2 - 1) * 6.5).astype(np.float32))
+    for mode in ("border", "zeros"):
+        ref = np.asarray(Wp.warpXLAExact(img, flow, padding_mode=mode))
+        got = np.asarray(Wp.warpBounded(img, flow, mode, interpret=True))
+        np.testing.assert_allclose(got, ref, atol=2e-5, err_msg=mode)
+    # flows beyond the margin must take the exact XLA fallback branch
+    bigFlow = flow * 10
+    ref = np.asarray(Wp.warpXLAExact(img, bigFlow, padding_mode="border"))
+    got = np.asarray(Wp.warpBounded(img, bigFlow, "border", interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
