@@ -5,11 +5,9 @@ TPU-native equivalent of the reference's only first-party CUDA kernel
 binary-search each channel value in its sorted adaptive vertex list,
 then trilinearly interpolate the 3D LUT at the resulting cell.
 
-The XLA formulation vectorizes the binary search as ``searchsorted``
+The XLA formulation vectorizes the binary search as a comparison count
 over the 33-entry vertex table and the trilinear gather as 8 flat
-``take`` ops — all fusible, no host round trips.  A Pallas kernel is
-provided in ``ops/pallas/lut_kernel.py`` for the HBM-bound full-image
-case.
+``take`` ops — all fusible, no host round trips.
 """
 
 from __future__ import annotations

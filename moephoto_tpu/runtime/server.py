@@ -115,10 +115,16 @@ def pollNote():
             time.sleep(0.01)
 
 
+sessionLock = threading.Lock()
+
+
 def acquireSession(req: Request):
-    if current.session:
-        return busy()
-    current.session = -1
+    # run_simple is threaded: the busy check-then-set must be atomic or
+    # two concurrent enhance POSTs interleave on the single worker pipe.
+    with sessionLock:
+        if current.session:
+            return busy()
+        current.session = -1
     current.eta = 0.1
     while noter.poll():
         noter.recv()
@@ -190,8 +196,6 @@ def makeHandler(name, prepare, final, methods=("POST",)):
             endSession(res)
             return res
         sender.send((name, *args))
-        while not receiver.poll(0.1):
-            pass
         return endSession(final(receiver.recv(), req))
 
     _routes["/" + name] = (f, set(methods))
@@ -410,8 +414,6 @@ def registerHandlers():
             opt[-1]["file"] = name
             current.fileSize = current.writeFile(image)
             sender.send(("batch", current.fileSize, *opt))
-            while not receiver.poll(0.1):
-                pass
             output = receiver.recv()
             count += 1
             note = {
@@ -445,16 +447,27 @@ def registerHandlers():
     )
 
 
+def safeJoin(root, rel):
+    """Join ``rel`` under ``root`` and refuse any escape ('..', absolute
+    paths, symlink tricks) by realpath containment — the analog of
+    flask's traversal-safe send_from_directory."""
+    root = os.path.realpath(root)
+    c = os.path.realpath(os.path.join(root, rel))
+    if c == root or c.startswith(root + os.sep):
+        return c
+    return None
+
+
 def serveStatic(req, path):
     _, sDir = findFrontend()
     candidates = []
     if path.startswith(outDir + "/"):
-        candidates.append(os.path.join(cwd, path))
+        candidates.append(safeJoin(os.path.join(cwd, outDir), path.split("/", 1)[-1]))
     if sDir:
-        candidates.append(os.path.join(sDir, path.split("/", 1)[-1]))
-        candidates.append(os.path.join(os.path.dirname(sDir), path))
+        candidates.append(safeJoin(sDir, path.split("/", 1)[-1]))
+        candidates.append(safeJoin(os.path.dirname(sDir), path))
     for c in candidates:
-        if os.path.isfile(c):
+        if c and os.path.isfile(c):
             import mimetypes
 
             mt = mimetypes.guess_type(c)[0] or "application/octet-stream"

@@ -27,7 +27,10 @@ class FakePipe:
             return bool(self.items)
 
     def recv(self):
+        # blocks until data, like a real mp.Pipe end
         with self.cv:
+            while not self.items:
+                self.cv.wait()
             return self.items.pop(0)
 
 
@@ -147,3 +150,46 @@ def test_preset_rejects_bad_path(client):
     c, S, _ = client
     resp = c.get("/preset", query_string={"path": "../etc"})
     assert resp.status_code == 403
+
+
+def test_static_traversal_blocked(client, tmp_path):
+    c, S, _ = client
+    # a secret outside every static root must not be reachable
+    for url in (
+        "/static/../../../etc/passwd",
+        "/static/..%2f..%2f..%2fetc/passwd",
+        "/download/../tests/test_server.py",
+        "/download/../../etc/passwd",
+    ):
+        resp = c.get(url)
+        assert resp.status_code == 404, url
+
+
+def test_static_legit_download(client):
+    import os
+
+    c, S, _ = client
+    os.makedirs(S.outDir, exist_ok=True)
+    p = os.path.join(S.outDir, "ok.txt")
+    with open(p, "w") as f:
+        f.write("fine")
+    try:
+        resp = c.get("/" + S.outDir + "/ok.txt")
+        assert resp.status_code == 200
+        assert resp.get_data() == b"fine"
+    finally:
+        os.remove(p)
+
+
+def test_session_acquire_is_atomic(client):
+    """Two racing enhance POSTs: exactly one may own the worker."""
+    c, S, _ = client
+    import concurrent.futures as cf
+
+    def post(i):
+        return c.post("/systemInfo", data={"session": f"race{i}"}).status_code
+
+    with cf.ThreadPoolExecutor(8) as ex:
+        codes = list(ex.map(post, range(8)))
+    # all succeed eventually or return Busy; never an error
+    assert set(codes) <= {200, 503}
