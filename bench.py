@@ -16,6 +16,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+# bench compares against reference checkpoints: enable the explicit
+# dev-only reference fallback (see pipeline/registry.modelPath)
+if os.path.isdir("/root/reference"):
+    os.environ.setdefault("MOEPHOTO_REFERENCE_ROOT", "/root/reference")
+
 from moephoto_tpu.config import enableCompilationCache
 
 enableCompilationCache()
@@ -416,6 +421,13 @@ def _benchIconVSR(h=360, w=640, n=14, warm=0):
         backward_fusion=RV.newFusion(),
         forward_fusion=RV.newFusion(),
     )
+    # damp: plain random init explodes to NaN through the PCD cascade,
+    # and NaN offsets would unrealistically force the unbounded-offset
+    # DCN fallback (real checkpoints keep offsets small)
+    with torch.no_grad():
+        for m in mods.values():
+            for prm in m.parameters():
+                prm.mul_(0.2)
     params = _refVideoParams([(k, m) for k, m in mods.items()], convT=None)
     opt = JV.VSROpt()
     opt.params = params

@@ -44,7 +44,20 @@ defaultConfig: Dict[str, tuple] = {
     "meshShape": ([], "e.g. [2, 4] for a dp x sp mesh; [] = single device"),
     "ffmpegPath": ("ffmpeg", "external ffmpeg binary for video decode/encode"),
     "modelDir": ("./model", "root directory of converted / torch checkpoints"),
+    "referenceRoot": (
+        "",
+        "optional read-only reference checkout used as a checkpoint/asset "
+        "fallback during development; also settable via the "
+        "MOEPHOTO_REFERENCE_ROOT environment variable",
+    ),
 }
+
+
+def referenceRoot() -> str:
+    """The explicit dev-only reference mount ('' = disabled)."""
+    return os.environ.get("MOEPHOTO_REFERENCE_ROOT") or getattr(
+        config, "referenceRoot", ""
+    )
 
 configPath = ".user/config.json"
 manifestPath = "manifest.json"

@@ -181,12 +181,21 @@ def edvrApply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     l1 = l1.reshape(B, N, H, W, -1)
     l2 = l2.reshape(B, N, H >> 1, W >> 1, -1)
     l3 = l3.reshape(B, N, H >> 2, W >> 2, -1)
-    refFeat = [l1[:, center], l2[:, center], l3[:, center]]
-    aligned = []
-    for i in range(N):
-        nbr = [l1[:, i], l2[:, i], l3[:, i]]
-        aligned.append(_pcdAlign(params, p + ".pcd_align", nbr, refFeat))
-    aligned = jnp.stack(aligned, axis=1)  # (B, N, H, W, C)
+    # batch the N per-neighbor PCD cascades into ONE call: the reference
+    # loops neighbors sequentially (videoSR.py:361-367) but every conv /
+    # DCN is batch-parallel, and batching multiplies gather+MXU
+    # efficiency by N on TPU
+    nbrB = [
+        lv.reshape((B * N,) + lv.shape[2:]) for lv in (l1, l2, l3)
+    ]
+    refB = [
+        jnp.broadcast_to(lv[:, center : center + 1], lv.shape).reshape(
+            (B * N,) + lv.shape[2:]
+        )
+        for lv in (l1, l2, l3)
+    ]
+    aligned = _pcdAlign(params, p + ".pcd_align", nbrB, refB)
+    aligned = aligned.reshape(B, N, H, W, -1)
     return _tsaFusion(params, p + ".fusion", aligned, center)
 
 
@@ -262,20 +271,118 @@ def getOpt(*_) -> VSROpt:
     return opt
 
 
+# --- scanned recurrences -----------------------------------------------------
+# The reference dispatches one warp + one 30-block trunk PER FRAME
+# (videoSR.py:415-441); through the axon tunnel each dispatch costs
+# ~31 ms and XLA cannot overlap them.  Both recurrences run instead as
+# lax.scan over a fixed-length chunk inside ONE jitted program: the
+# trunk body compiles once, keyframe fusion is a lax.cond branch, and
+# host-side Nones become index+mask arrays (padding keeps one compiled
+# variant per chunk length).
+
+
+def _backwardScan(params, inp, flow, kfStack, kfIdx, kfMask, warpMask, validMask):
+    """Backward recurrence over one chunk (videoSR.py:415-431).
+
+    inp (T,H,W,3) model dtype · flow (T,H,W,2) fp32 · kfStack (K,H,W,C)
+    keyframe EDVR features · kfIdx (T,) int32 into kfStack ·
+    kfMask/warpMask/validMask (T,) bool.  Runs reversed; pad steps keep
+    the carry at zero so the first real frame sees a fresh state,
+    exactly like the reference's per-chunk ``new_zeros``.
+    """
+    dtype = inp.dtype
+
+    def step(featProp, x):
+        fr, fl, ki, kfM, wM, vM = x
+        warped = backWarp(featProp.astype(jnp.float32), fl[None]).astype(dtype)
+        fp = jnp.where(wM, warped, featProp)
+
+        def fuse(f):
+            kf = jax.lax.dynamic_index_in_dim(kfStack, ki, 0, keepdims=False)
+            cat = jnp.concatenate([f, kf[None]], axis=-1)
+            return conv2d(params, "backward_fusion", cat, padding=1)
+
+        fp = jax.lax.cond(kfM, fuse, lambda f: f, fp)
+        fp = trunkApply(
+            params, "backward_trunk", jnp.concatenate([fr[None], fp], axis=-1)
+        )
+        fp = jnp.where(vM, fp, jnp.zeros_like(fp))
+        return fp, fp[0]
+
+    T, H, W, _ = inp.shape
+    init = jnp.zeros((1, H, W, NumFeat), dtype)
+    xs = (inp, flow, kfIdx, kfMask, warpMask, validMask)
+    _, outs = jax.lax.scan(step, init, xs, reverse=True)
+    return outs  # (T, H, W, NumFeat)
+
+
+def _forwardScan(
+    params, featProp, inp, bwd, flow, kfStack, kfIdx, flowMask, kfMask, validMask
+):
+    """Forward recurrence (videoSR.py:446-460); carry crosses calls."""
+    dtype = inp.dtype
+
+    def step(featProp, x):
+        fr, bw, fl, ki, flM, kfM, vM = x
+        warped = backWarp(featProp.astype(jnp.float32), fl[None]).astype(dtype)
+        fp = jnp.where(flM, warped, featProp)
+
+        def fuse(f):
+            kf = jax.lax.dynamic_index_in_dim(kfStack, ki, 0, keepdims=False)
+            cat = jnp.concatenate([f, kf[None]], axis=-1)
+            return conv2d(params, "forward_fusion", cat, padding=1)
+
+        fp = jax.lax.cond(kfM, fuse, lambda f: f, fp)
+        fp = trunkApply(
+            params,
+            "forward_trunk",
+            jnp.concatenate([fr[None], bw[None], fp], axis=-1),
+        )
+        fpNext = jnp.where(vM, fp, featProp)
+        return fpNext, fp[0]
+
+    xs = (inp, bwd, flow, kfIdx, flowMask, kfMask, validMask)
+    fpOut, outs = jax.lax.scan(step, featProp, xs)
+    return outs, fpOut
+
+
 # stage jits at module level: compiled executables are shared across
 # graph instances, so rebuilding the pipeline per video task (worker
 # behavior) costs no re-trace/re-compile for repeated shapes
 edvrJit = jax.jit(edvrApply)
 spyJit = jax.jit(spynetApply)
-bTrunkJit = jax.jit(lambda p, x: trunkApply(p, "backward_trunk", x))
-fTrunkJit = jax.jit(lambda p, x: trunkApply(p, "forward_trunk", x))
-bFusionJit = jax.jit(lambda p, x: conv2d(p, "backward_fusion", x, padding=1))
-fFusionJit = jax.jit(lambda p, x: conv2d(p, "forward_fusion", x, padding=1))
+bScanJit = jax.jit(_backwardScan)
+fScanJit = jax.jit(_forwardScan)
 upJit = jax.jit(
     lambda p, inp, feat: upsampleApply(p, feat)
     + resizeBilinear(inp, inp.shape[1] * 4, inp.shape[2] * 4).astype(jnp.float32)
 )
-warpJit = jax.jit(lambda img, flow: backWarp(img, flow))
+
+ForwardChunk = 5
+UpsampleChunk = 4
+
+
+def _packOptional(items, n, T, shape, dtype):
+    """Host list with Nones -> (stack (K,*shape), idx (T,), mask (T,));
+    index 0 of the stack is a zero filler so it is never empty."""
+    stack = [jnp.zeros(shape, dtype)]
+    idx = np.zeros(T, np.int32)
+    mask = np.zeros(T, bool)
+    for i, it in enumerate(items[:n]):
+        if it is not None:
+            idx[i] = len(stack)
+            mask[i] = True
+            stack.append(it.astype(dtype))
+    return jnp.stack(stack), jnp.asarray(idx), jnp.asarray(mask)
+
+
+def _padBatch(arr, T, dtype):
+    n = arr.shape[0]
+    arr = arr.astype(dtype)
+    if n == T:
+        return arr
+    pad = jnp.zeros((T - n,) + arr.shape[1:], dtype)
+    return jnp.concatenate([arr, pad])
 
 
 def doVSR(func, node, opt: VSROpt):
@@ -332,25 +439,35 @@ def doVSR(func, node, opt: VSROpt):
             return [None, None]
         n = inp.shape[0]
         h, w = inp.shape[1], inp.shape[2]
-        featProp = jnp.zeros((1, h, w, NumFeat), opt.dtype)
-        out = []
+        T = BackwardChunk
+        flows = [
+            f if f is not None else jnp.zeros((h, w, 2), jnp.float32)
+            for f in flowInp[:n]
+        ] + [jnp.zeros((h, w, 2), jnp.float32)] * (T - n)
+        kfStack, kfIdx, kfMask = _packOptional(
+            keyframeFeat, n, T, (h, w, NumFeat), opt.dtype
+        )
+        warpM = np.zeros(T, bool)
+        warpM[:n] = True
+        if last:
+            warpM[n - 1] = False  # no flow past the final frame
+        validM = np.zeros(T, bool)
+        validM[:n] = True
+        outs = bScanJit(
+            opt.params,
+            _padBatch(inp, T, opt.dtype),
+            jnp.stack([f.astype(jnp.float32) for f in flows]),
+            kfStack,
+            kfIdx,
+            kfMask,
+            jnp.asarray(warpM),
+            jnp.asarray(validM),
+        )
+        out = [outs[i] for i in range(n)]
         if last and not tailState["backPad"]:
             # 2 empties so the tail windows fill (videoSR.py:420-421)
-            out = [None, None]
+            out.extend([None, None])
             tailState["backPad"] = True
-        for i in range(n - 1, -1, -1):
-            if i < n - 1 or not last:
-                featProp = warpJit(
-                    featProp.astype(jnp.float32), flowInp[i][None].astype(jnp.float32)
-                ).astype(opt.dtype)
-            if keyframeFeat[i] is not None:
-                featProp = jnp.concatenate([featProp, keyframeFeat[i][None]], axis=-1)
-                featProp = bFusionJit(opt.params, featProp)
-            featProp = jnp.concatenate(
-                [inp[i][None].astype(opt.dtype), featProp], axis=-1
-            )
-            featProp = bTrunkJit(opt.params, featProp)
-            out.insert(0, featProp[0])
         return out
 
     forwardState = {"featProp": None}
@@ -358,34 +475,46 @@ def doVSR(func, node, opt: VSROpt):
     def calcForward(inp, flowInp, keyframeFeat, backward, last=None):
         n = inp.shape[0]
         h, w = inp.shape[1], inp.shape[2]
+        T = max(n, ForwardChunk)
         featProp = forwardState["featProp"]
         if featProp is None:
             featProp = jnp.zeros((1, h, w, NumFeat), opt.dtype)
-        out = []
-        for i in range(n):
-            if flowInp[i] is not None:
-                featProp = warpJit(
-                    featProp.astype(jnp.float32), flowInp[i][None].astype(jnp.float32)
-                ).astype(opt.dtype)
-            if keyframeFeat[i] is not None:
-                featProp = jnp.concatenate([featProp, keyframeFeat[i][None]], axis=-1)
-                featProp = fFusionJit(opt.params, featProp)
-            featProp = jnp.concatenate(
-                [
-                    inp[i][None].astype(opt.dtype),
-                    backward[i][0][None],
-                    featProp,
-                ],
-                axis=-1,
-            )
-            featProp = fTrunkJit(opt.params, featProp)
-            out.append(featProp[0])
+        flows = [
+            f if f is not None else jnp.zeros((h, w, 2), jnp.float32)
+            for f in flowInp[:n]
+        ] + [jnp.zeros((h, w, 2), jnp.float32)] * (T - n)
+        flowM = np.zeros(T, bool)
+        flowM[:n] = [f is not None for f in flowInp[:n]]
+        kfStack, kfIdx, kfMask = _packOptional(
+            keyframeFeat, n, T, (h, w, NumFeat), opt.dtype
+        )
+        validM = np.zeros(T, bool)
+        validM[:n] = True
+        bwd = jnp.stack([b[0] for b in backward[:n]])
+        outs, featProp = fScanJit(
+            opt.params,
+            featProp,
+            _padBatch(inp, T, opt.dtype),
+            _padBatch(bwd, T, opt.dtype),
+            jnp.stack([f.astype(jnp.float32) for f in flows]),
+            kfStack,
+            kfIdx,
+            jnp.asarray(flowM),
+            kfMask,
+            jnp.asarray(validM),
+        )
         forwardState["featProp"] = featProp
-        return out
+        return [outs[i] for i in range(n)]
 
     def doUpsample(inp, forward, last=None):
-        out = upJit(opt.params, inp.astype(opt.dtype), forward.astype(opt.dtype))
-        return [o.astype(jnp.float32) for o in out]
+        n = inp.shape[0]
+        T = max(n, UpsampleChunk)
+        out = upJit(
+            opt.params,
+            _padBatch(inp, T, opt.dtype),
+            _padBatch(forward, T, opt.dtype),
+        )
+        return [out[i].astype(jnp.float32) for i in range(n)]
 
     listB = lambda x: x
     inp = Stream(name="inp")
@@ -434,9 +563,11 @@ def doVSR(func, node, opt: VSROpt):
         nodes[4].bindFunc(calcForward),
         [inp1, flowForward, keyframeFeature2, backward],
         [forward],
-        size=1,
+        size=ForwardChunk,
     )
-    graph.stage(nodes[5].bindFunc(doUpsample), [inp2, forward], [upsampleS], size=1)
+    graph.stage(
+        nodes[5].bindFunc(doUpsample), [inp2, forward], [upsampleS], size=UpsampleChunk
+    )
 
     def initFunc(o, x):
         o.padF, o.unpadF, size = alignPad(x, 64)

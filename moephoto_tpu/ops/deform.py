@@ -14,29 +14,98 @@ offset and ``+1`` the x offset for group ``g``, kernel position ``k``.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from moephoto_tpu.models.api import Params, conv2d, sigmoid
 
+# Offsets within +-DCN_MARGIN px run the dense shift-window path (no
+# gathers); larger offsets fall back to the exact gather path via
+# lax.cond, mirroring ops/warp.warpBounded's dispatch.
+DCN_MARGIN = 3
 
-def deformConv2d(
-    x: jnp.ndarray,  # (B, H, W, Cin)
-    offset: jnp.ndarray,  # (B, H, W, 2*dg*K)
-    mask: jnp.ndarray,  # (B, H, W, dg*K) already sigmoid-ed
-    weight: jnp.ndarray,  # (kh, kw, Cin, Cout) HWIO
-    bias,  # (Cout,) or None
-    deformableGroups: int,
-    padding: int = 1,
-    dilation: int = 1,
+
+def _deformConvDense(
+    x: jnp.ndarray,
+    off: jnp.ndarray,  # (B, H, W, dg, K, 2) fp32
+    m: jnp.ndarray,  # (B, H, W, dg, K) fp32
+    weight: jnp.ndarray,
+    bias,
+    dg: int,
+    padding: int,
+    dilation: int,
+    margin: int,
 ) -> jnp.ndarray:
+    """Gather-free DCNv2: bilinear sampling as a sum over the integer
+    shift window [-margin, margin]^2 with hat weights
+    ``max(0, 1-|delta-d|)`` (exactly the two nonzero bilinear taps),
+    modulation folded in.  XLA TPU gathers run ~1 ns/element (measured
+    487 ms per dcn_pack.l1 call @360p); this path is shifted slices +
+    VPU FMAs that XLA fuses, with out-of-bounds zeros coming from the
+    pad — identical semantics to the gather path's valid-masking.
+    Valid only while every |offset| <= margin; callers dispatch via
+    ``lax.cond`` (see deformConv2d)."""
     B, H, W, Cin = x.shape
     kh, kw, _, Cout = weight.shape
     K = kh * kw
-    dg = deformableGroups
     cg = Cin // dg
+    win = 2 * margin + 1
+    P = margin + max(padding, dilation * max(kh, kw) // 2) + 1
+    xp = jnp.pad(x, ((0, 0), (P, P), (P, P), (0, 0)))
+    out = jnp.zeros((B, H, W, Cout), jnp.float32)
+    for k in range(K):
+        ky, kx = divmod(k, kw)
+        by = ky * dilation - padding
+        bx = kx * dilation - padding
+        dyF = off[..., k, 0]  # (B, H, W, dg)
+        dxF = off[..., k, 1]
+        mk = m[..., k]
 
-    off = offset.reshape(B, H, W, dg, K, 2).astype(jnp.float32)
-    m = mask.reshape(B, H, W, dg, K).astype(jnp.float32)
+        # fori_loop over the shift window: an unrolled sum materializes
+        # hundreds of (B,H,W,C) temporaries and OOMs HBM at B=7 360p;
+        # the loop carries ONE accumulator and compiles the body once
+        def term(t, acc):
+            dy = t // win - margin
+            dx = t % win - margin
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(dyF - dy.astype(jnp.float32)))
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(dxF - dx.astype(jnp.float32)))
+            wgt = wy * wx * mk  # (B, H, W, dg)
+            w = jnp.repeat(wgt, cg, axis=-1)
+            s = lax.dynamic_slice(
+                xp, (0, P + by + dy, P + bx + dx, 0), (B, H, W, Cin)
+            )
+            return acc + w * s.astype(jnp.float32)
+
+        acc = lax.fori_loop(
+            0, win * win, term, jnp.zeros((B, H, W, Cin), jnp.float32)
+        )
+        out = out + jnp.dot(
+            acc.astype(x.dtype),
+            weight[ky, kx].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _deformConvGather(
+    x: jnp.ndarray,
+    off: jnp.ndarray,  # (B, H, W, dg, K, 2) fp32
+    m: jnp.ndarray,  # (B, H, W, dg, K) fp32
+    weight: jnp.ndarray,
+    bias,
+    dg: int,
+    padding: int,
+    dilation: int,
+) -> jnp.ndarray:
+    """Exact unbounded-offset path via XLA gathers (slow on TPU: ~1
+    ns/element; the dense path handles the common bounded case)."""
+    B, H, W, Cin = x.shape
+    kh, kw, _, Cout = weight.shape
+    K = kh * kw
+    cg = Cin // dg
 
     # grouped image: (B*dg, H, W, cg)
     imgG = x.reshape(B, H, W, dg, cg).transpose(0, 3, 1, 2, 4).reshape(B * dg, H, W, cg)
@@ -89,6 +158,40 @@ def deformConv2d(
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(x.dtype)
+
+
+def deformConv2d(
+    x: jnp.ndarray,  # (B, H, W, Cin)
+    offset: jnp.ndarray,  # (B, H, W, 2*dg*K)
+    mask: jnp.ndarray,  # (B, H, W, dg*K) already sigmoid-ed
+    weight: jnp.ndarray,  # (kh, kw, Cin, Cout) HWIO
+    bias,  # (Cout,) or None
+    deformableGroups: int,
+    padding: int = 1,
+    dilation: int = 1,
+    margin: int = DCN_MARGIN,
+) -> jnp.ndarray:
+    B, H, W, _ = x.shape
+    kh, kw = weight.shape[0], weight.shape[1]
+    K = kh * kw
+    dg = deformableGroups
+    off = offset.reshape(B, H, W, dg, K, 2).astype(jnp.float32)
+    m = mask.reshape(B, H, W, dg, K).astype(jnp.float32)
+    if margin <= 0:
+        return _deformConvGather(x, off, m, weight, bias, dg, padding, dilation)
+    bound = jnp.max(jnp.abs(off))
+    return lax.cond(
+        bound <= float(margin),
+        lambda a, o, mm: _deformConvDense(
+            a, o, mm, weight, bias, dg, padding, dilation, margin
+        ),
+        lambda a, o, mm: _deformConvGather(
+            a, o, mm, weight, bias, dg, padding, dilation
+        ),
+        x,
+        off,
+        m,
+    )
 
 
 def modulatedDeformConvPack(

@@ -29,15 +29,17 @@ _paramsCache: Dict[str, dict] = {}
 
 def modelPath(rel: str) -> str:
     """Resolve a checkpoint path: ``modelDir`` replaces the leading
-    ``model/`` component; falls back to the mounted reference checkout
-    for development parity runs."""
+    ``model/`` component.  A reference checkout is consulted ONLY when
+    explicitly configured (``referenceRoot`` config key or
+    ``MOEPHOTO_REFERENCE_ROOT`` env) — no hidden mount dependency."""
+    from moephoto_tpu.config import referenceRoot
+
     rel = rel.lstrip("./")
     sub = rel[len("model/"):] if rel.startswith("model/") else rel
-    candidates = [
-        os.path.join(config.modelDir, sub),
-        rel,
-        os.path.join("/root/reference", rel),
-    ]
+    candidates = [os.path.join(config.modelDir, sub), rel]
+    ref = referenceRoot()
+    if ref:
+        candidates.append(os.path.join(ref, rel))
     for cand in candidates:
         if os.path.exists(cand):
             return cand

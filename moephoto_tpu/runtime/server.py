@@ -235,10 +235,16 @@ _jinjaEnv = None
 
 
 def findFrontend():
-    """Locate templates/static dirs: local first, then the mounted
-    reference (the frontend is reused unchanged — SURVEY.md section 7)."""
+    """Locate templates/static dirs: the repo ships its own frontend;
+    an external checkout is consulted only when explicitly configured
+    (``referenceRoot`` / MOEPHOTO_REFERENCE_ROOT — dev flag)."""
     global _templateDir, _staticDir
-    for root in (".", "/root/reference"):
+    from moephoto_tpu.config import referenceRoot
+
+    roots = ["."]
+    if referenceRoot():
+        roots.append(referenceRoot())
+    for root in roots:
         t = os.path.join(root, "templates")
         if _templateDir is None and os.path.isdir(t):
             _templateDir = t
@@ -499,7 +505,10 @@ def app(req: Request):
     if path.startswith("/" + outDir + "/") or path.startswith("/static/"):
         return serveStatic(req, path.lstrip("/"))
     if path == "/favicon.ico":
-        for root in (".", "/root/reference"):
+        from moephoto_tpu.config import referenceRoot
+
+        roots = ["."] + ([referenceRoot()] if referenceRoot() else [])
+        for root in roots:
             p = os.path.join(root, "logo3.ico")
             if os.path.exists(p):
                 return Response(open(p, "rb").read(), mimetype="image/x-icon")

@@ -1,0 +1,368 @@
+/* MoePhoto-TPU frontend: step builder + long-poll progress + presets.
+ *
+ * Written from the server protocol (moephoto_tpu/runtime/server.py):
+ *   POST /image_enhance|/video_enhance|/batch_enhance
+ *        form-data {session, steps: JSON, file|url} -> final JSON
+ *   GET  /msg?session=S            long-poll: note {eta,gone,total,preview}
+ *                                  or final {result...}; empty body = idle
+ *   GET  /stop?session=S           interrupt current task
+ *   GET  /preset?path=image|video[&name=N]  list briefs / fetch raw
+ *   POST /preset {path, data}                save
+ */
+(function () {
+  'use strict';
+
+  // --- step vocabulary (pipeline/steps.py + pipeline/registry.py) ---------
+  var FIELD = function (key, label, kind, opts, def) {
+    return { key: key, label: label, kind: kind, opts: opts || [], def: def };
+  };
+  var OPS = {
+    SR: {
+      label: '超分辨率',
+      fields: [
+        FIELD('model', '模型', 'select',
+          [['a', '动漫'], ['p', '照片'], ['lite', '快速'], ['gan', 'GAN'], ['gana', '动漫GAN']], 'a'),
+        FIELD('scale', '倍数', 'select', [['2', '2'], ['3', '3'], ['4', '4'], ['8', '8']], '2'),
+        FIELD('ensemble', '自集成', 'number', { min: 0, max: 7 }, '0')
+      ]
+    },
+    DN: {
+      label: '降噪',
+      fields: [
+        FIELD('model', '模型', 'select',
+          [['lite5', '弱'], ['lite10', '中'], ['lite15', '强'],
+           ['15', '经典15'], ['25', '经典25'], ['50', '经典50'],
+           ['MPRNet_denoising', 'MPRNet'], ['NAFNet_32', 'NAFNet 32'],
+           ['NAFNet_64', 'NAFNet 64'], ['VSR_Cleaning', 'VSR前置清理']], 'lite5'),
+        FIELD('strength', '强度', 'number', { min: 0, max: 1, step: 0.05 }, '1')
+      ]
+    },
+    dehaze: {
+      label: '修复/调色',
+      fields: [
+        FIELD('model', '模型', 'select',
+          [['dehaze', '去雾'], ['sun', '去摩尔纹(小)'], ['moire_obj', '去摩尔纹(自然)'],
+           ['moire_screen_gan', '去摩尔纹(屏幕)'], ['MPRNet_deblurring', '去模糊 MPRNet'],
+           ['MPRNet_deraining', '去雨'], ['NAFNet_deblur_32', '去模糊 NAFNet32'],
+           ['NAFNet_deblur_64', '去模糊 NAFNet64'], ['NAFNet_deblur_JPEG_64', '去压缩模糊'],
+           ['AiLUT_sRGB_3', '调色 sRGB'], ['AiLUT_XYZ_3', '调色 XYZ'],
+           ['AiLUT_sRGB_5', '调色 PPR10K']], 'dehaze'),
+        FIELD('strength', '强度', 'number', { min: 0, max: 1, step: 0.05 }, '1')
+      ]
+    },
+    resize: {
+      label: '缩放',
+      fields: [
+        FIELD('scaleW', '宽倍数', 'number', { min: 0.05, step: 0.05 }, '1'),
+        FIELD('scaleH', '高倍数', 'number', { min: 0.05, step: 0.05 }, '1')
+      ]
+    },
+    slomo: {
+      label: '插帧慢动作',
+      video: true,
+      fields: [
+        FIELD('sf', '倍率', 'number', { min: 2, step: 1 }, '2'),
+        FIELD('dedupe', '去重', 'select', [['', '关'], ['on', '开']], ''),
+        FIELD('ensemble', '光流TTA', 'number', { min: 0, max: 5 }, '0')
+      ]
+    },
+    VSR: { label: '视频超分 ×4', video: true, fields: [] },
+    demob: { label: '视频去模糊', video: true, fields: [] }
+  };
+
+  var $ = function (id) { return document.getElementById(id); };
+  var app = $('app');
+
+  // session id: reuse the server-set cookie, else mint one
+  function sessionId() {
+    var m = document.cookie.match(/(?:^|;\s*)session=([^;]+)/);
+    if (m) return m[1];
+    var s = String(Date.now() / 1000);
+    document.cookie = 'session=' + s;
+    return s;
+  }
+
+  // ======================= step builder ==================================
+  var steps = [];
+
+  function fieldInput(f, value) {
+    var el;
+    if (f.kind === 'select') {
+      el = document.createElement('select');
+      f.opts.forEach(function (o) {
+        var opt = document.createElement('option');
+        opt.value = o[0]; opt.textContent = o[1];
+        el.appendChild(opt);
+      });
+      el.value = value != null ? String(value) : f.def;
+    } else {
+      el = document.createElement('input');
+      el.type = 'number';
+      ['min', 'max', 'step'].forEach(function (k) {
+        if (f.opts[k] != null) el[k] = f.opts[k];
+      });
+      el.value = value != null ? String(value) : f.def;
+      el.style.width = '5.5em';
+    }
+    el.dataset.key = f.key;
+    return el;
+  }
+
+  function renderSteps() {
+    var list = $('stepList');
+    if (!list) return;
+    list.textContent = '';
+    steps.forEach(function (st, i) {
+      var row = document.createElement('div');
+      row.className = 'moe-step';
+      var op = document.createElement('span');
+      op.className = 'moe-op';
+      op.textContent = (i + 1) + ' · ' + OPS[st.op].label;
+      row.appendChild(op);
+      OPS[st.op].fields.forEach(function (f) {
+        var lab = document.createElement('label');
+        lab.textContent = f.label + ' ';
+        var inp = fieldInput(f, st[f.key]);
+        inp.addEventListener('change', function () { st[f.key] = inp.value; });
+        lab.appendChild(inp);
+        row.appendChild(lab);
+      });
+      var del = document.createElement('button');
+      del.type = 'button'; del.className = 'moe-del'; del.textContent = '删除';
+      del.addEventListener('click', function () { steps.splice(i, 1); renderSteps(); });
+      row.appendChild(del);
+      list.appendChild(row);
+    });
+  }
+
+  function buildAdders(mode) {
+    var adders = $('stepAdders');
+    if (!adders) return;
+    Object.keys(OPS).forEach(function (op) {
+      if (OPS[op].video && mode === 'image') return;
+      if (OPS[op].video && mode === 'batch') return;
+      var b = document.createElement('button');
+      b.type = 'button';
+      b.textContent = '+ ' + OPS[op].label;
+      b.addEventListener('click', function () {
+        var st = { op: op };
+        OPS[op].fields.forEach(function (f) { st[f.key] = f.def; });
+        steps.push(st);
+        renderSteps();
+      });
+      adders.appendChild(b);
+    });
+  }
+
+  function stepsJSON(mode) {
+    var out = steps.map(function (st) {
+      var o = { op: st.op };
+      (OPS[st.op].fields || []).forEach(function (f) {
+        var v = st[f.key];
+        if (v === '' || v == null) return;
+        o[f.key] = isNaN(Number(v)) ? v : Number(v);
+      });
+      if (st.op === 'slomo' && o.dedupe) o.dedupe = true;
+      return o;
+    });
+    if (mode === 'video') {
+      var last = { op: 'output' };
+      var enc = $('encodec'), dec = $('decodec'), name = $('outName');
+      if (enc && enc.value) last.encodec = enc.value;
+      if (dec && dec.value) last.decodec = dec.value;
+      if (name && name.value) last.file = 'download/' + name.value;
+      out.push(last);
+      out.unshift({ op: 'file' });
+    }
+    return JSON.stringify(out);
+  }
+
+  // ======================= progress (long-poll /msg) ======================
+  var polling = false;
+
+  function fmtETA(s) {
+    s = Math.max(0, Math.round(s));
+    return s >= 3600
+      ? Math.floor(s / 3600) + 'h' + Math.floor((s % 3600) / 60) + 'm'
+      : s >= 60 ? Math.floor(s / 60) + 'm' + (s % 60) + 's' : s + 's';
+  }
+
+  function showNote(note) {
+    var bar = $('bar'), eta = $('etaText'), prev = $('preview');
+    if (note.total && note.gone != null && bar)
+      bar.style.width = Math.round(100 * note.gone / note.total) + '%';
+    if (eta) {
+      var t = [];
+      if (note.gone != null && note.total) t.push(note.gone + '/' + note.total);
+      if (note.eta != null) t.push('剩余约 ' + fmtETA(note.eta));
+      eta.textContent = t.join(' · ');
+    }
+    if (prev && note.preview) {
+      prev.src = '/' + note.preview + '?t=' + Date.now();
+      prev.hidden = false;
+    }
+  }
+
+  function poll(session) {
+    if (!polling) return;
+    fetch('/msg?session=' + encodeURIComponent(session))
+      .then(function (r) { return r.text(); })
+      .then(function (body) {
+        if (!polling) return;
+        if (body) {
+          try {
+            var note = JSON.parse(body);
+            if (note.result === undefined) showNote(note);
+          } catch (e) { /* non-JSON idle body */ }
+        }
+        setTimeout(function () { poll(session); }, 500);
+      })
+      .catch(function () { setTimeout(function () { poll(session); }, 2000); });
+  }
+
+  // ======================= submit =========================================
+  function setBusy(b) {
+    if ($('submitBtn')) $('submitBtn').disabled = b;
+    if ($('stopBtn')) $('stopBtn').disabled = !b;
+    if ($('progress')) $('progress').hidden = !b && !$('result').textContent;
+  }
+
+  function showResult(res, code) {
+    var el = $('result');
+    if (!el) return;
+    el.textContent = '';
+    var span = document.createElement('span');
+    if (code === 200 && res && res.result && res.result !== 'Fail') {
+      span.className = 'ok';
+      if (typeof res.result === 'string') {
+        var a = document.createElement('a');
+        a.href = '/' + res.result; a.textContent = res.result; a.download = '';
+        span.textContent = '完成: ';
+        span.appendChild(a);
+        var prev = $('preview');
+        if (prev && /\.(png|jpe?g|webp|bmp|gif)$/i.test(res.result)) {
+          prev.src = '/' + res.result + '?t=' + Date.now();
+          prev.hidden = false;
+        }
+      } else {
+        span.textContent = '完成: ' + JSON.stringify(res.result);
+      }
+    } else {
+      span.className = 'err';
+      span.textContent = '失败: ' + JSON.stringify(res);
+    }
+    el.appendChild(span);
+  }
+
+  function submit(mode, endpoint) {
+    var session = sessionId();
+    var fd = new FormData();
+    fd.append('session', session);
+    fd.append('steps', stepsJSON(mode));
+    var files = $('fileInput') ? $('fileInput').files : [];
+    if (mode === 'video' && $('urlInput') && $('urlInput').value) {
+      fd.append('url', $('urlInput').value);
+    } else if (mode === 'batch') {
+      if (!files.length) return alert('请选择图片');
+      for (var i = 0; i < files.length; i++) fd.append('file', files[i]);
+    } else {
+      if (!files.length) return alert('请选择文件');
+      fd.append('file', files[0]);
+    }
+    setBusy(true);
+    $('progress').hidden = false;
+    $('result').textContent = '';
+    polling = true;
+    poll(session);
+    fetch(endpoint, { method: 'POST', body: fd })
+      .then(function (r) {
+        return r.json().then(function (j) { return [j, r.status]; });
+      })
+      .then(function (t) { showResult(t[0], t[1]); })
+      .catch(function (e) { showResult(String(e), 0); })
+      .then(function () { polling = false; setBusy(false); });
+  }
+
+  // ======================= presets ========================================
+  function presetPath(mode) { return mode === 'video' ? 'video' : 'image'; }
+
+  function refreshPresets(mode) {
+    var sel = $('presetSelect');
+    if (!sel) return;
+    fetch('/preset?path=' + presetPath(mode))
+      .then(function (r) { return r.json(); })
+      .then(function (briefs) {
+        sel.length = 1;
+        briefs.forEach(function (b) {
+          var o = document.createElement('option');
+          o.value = b.name; o.textContent = b.name;
+          sel.appendChild(o);
+        });
+      })
+      .catch(function () {});
+  }
+
+  function wirePresets(mode, version) {
+    if (!$('presetSelect')) return;
+    refreshPresets(mode);
+    $('presetLoad').addEventListener('click', function () {
+      var name = $('presetSelect').value;
+      if (!name) return;
+      fetch('/preset?path=' + presetPath(mode) + '&name=' + encodeURIComponent(name))
+        .then(function (r) { return r.json(); })
+        .then(function (p) {
+          steps = (p.steps || []).filter(function (s) { return OPS[s.op]; });
+          renderSteps();
+        });
+    });
+    $('presetSave').addEventListener('click', function () {
+      var name = $('presetName').value.trim();
+      if (!name) return alert('请输入预设名');
+      var data = JSON.stringify({
+        name: name, version: version, notes: [],
+        steps: JSON.parse(stepsJSON('image'))
+      });
+      var fd = new FormData();
+      fd.append('path', presetPath(mode));
+      fd.append('data', data);
+      fetch('/preset', { method: 'POST', body: fd }).then(function () {
+        refreshPresets(mode);
+      });
+    });
+  }
+
+  // ======================= lock (system page) =============================
+  function wireLock() {
+    var btn = $('lockBtn');
+    if (!btn) return;
+    btn.addEventListener('click', function () {
+      var secs = Number($('lockSecs').value) || 60;
+      var q = 'session=' + encodeURIComponent(sessionId()) +
+        '&steps=' + encodeURIComponent(JSON.stringify([{ duration: secs }]));
+      $('lockState').textContent = '锁定中…';
+      fetch('/lockInterface?' + q)
+        .then(function (r) { return r.json(); })
+        .then(function (j) { $('lockState').textContent = j.result; })
+        .catch(function (e) { $('lockState').textContent = String(e); });
+    });
+  }
+
+  // ======================= init ===========================================
+  wireLock();
+  if (!app) return;
+  var mode = app.dataset.mode;
+  var endpoint = app.dataset.endpoint;
+  buildAdders(mode);
+  renderSteps();
+  wirePresets(mode, app.dataset.version);
+  if ($('submitBtn'))
+    $('submitBtn').addEventListener('click', function () { submit(mode, endpoint); });
+  if ($('stopBtn'))
+    $('stopBtn').addEventListener('click', function () {
+      fetch('/stop?session=' + encodeURIComponent(sessionId()));
+    });
+  if (mode === 'batch' && $('fileInput'))
+    $('fileInput').addEventListener('change', function () {
+      $('fileCount').textContent = this.files.length + ' 个文件';
+    });
+})();

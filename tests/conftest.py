@@ -6,6 +6,11 @@ import sys
 # devices remain available for deterministic parity tests.
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
+# Parity/golden tests read reference checkpoints; the runtime consults a
+# reference checkout only when this explicit dev flag is set.
+if os.path.isdir("/root/reference"):
+    os.environ.setdefault("MOEPHOTO_REFERENCE_ROOT", "/root/reference")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402

@@ -1,0 +1,238 @@
+"""IconVSR scanned recurrences: the lax.scan chunk programs must equal
+the reference's per-frame loop semantics (videoSR.py:415-460), including
+Nones (missing flow / keyframe), chunk padding and cross-call carry; and
+the neighbor-batched PCD align must equal the reference's sequential
+per-neighbor loop (videoSR.py:361-367)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tests.conftest import needsReference
+
+NumFeat = 64
+
+
+def _trunkParams(rng, prefix, cin, blocks=30):
+    p = {}
+    p[f"{prefix}.0.weight"] = rng.randn(3, 3, cin, NumFeat).astype(np.float32) * 0.05
+    p[f"{prefix}.0.bias"] = rng.randn(NumFeat).astype(np.float32) * 0.05
+    for i in range(blocks):
+        for c in ("conv1", "conv2"):
+            p[f"{prefix}.2.{i}.{c}.weight"] = (
+                rng.randn(3, 3, NumFeat, NumFeat).astype(np.float32) * 0.02
+            )
+            p[f"{prefix}.2.{i}.{c}.bias"] = rng.randn(NumFeat).astype(np.float32) * 0.02
+    return p
+
+
+def _params(rng):
+    p = {}
+    p.update(_trunkParams(rng, "backward_trunk", NumFeat + 3))
+    p.update(_trunkParams(rng, "forward_trunk", 2 * NumFeat + 3))
+    for k in ("backward_fusion", "forward_fusion"):
+        p[f"{k}.weight"] = rng.randn(3, 3, 2 * NumFeat, NumFeat).astype(np.float32) * 0.05
+        p[f"{k}.bias"] = rng.randn(NumFeat).astype(np.float32) * 0.05
+    return {k: jnp.asarray(v) for k, v in p.items()}
+
+
+def _loopBackward(params, inp, flows, kfs, last):
+    """The pre-scan per-frame loop (reference calcBackward semantics)."""
+    from moephoto_tpu.models.api import conv2d
+    from moephoto_tpu.models.iconvsr import trunkApply
+    from moephoto_tpu.ops.warp import backWarp
+
+    n, h, w, _ = inp.shape
+    featProp = jnp.zeros((1, h, w, NumFeat), inp.dtype)
+    out = []
+    for i in range(n - 1, -1, -1):
+        if i < n - 1 or not last:
+            featProp = backWarp(
+                featProp.astype(jnp.float32), flows[i][None].astype(jnp.float32)
+            ).astype(inp.dtype)
+        if kfs[i] is not None:
+            featProp = jnp.concatenate([featProp, kfs[i][None]], axis=-1)
+            featProp = conv2d(params, "backward_fusion", featProp, padding=1)
+        featProp = jnp.concatenate([inp[i][None], featProp], axis=-1)
+        featProp = trunkApply(params, "backward_trunk", featProp)
+        out.insert(0, featProp[0])
+    return out
+
+
+def _loopForward(params, featProp, inp, bwd, flows, kfs):
+    from moephoto_tpu.models.api import conv2d
+    from moephoto_tpu.models.iconvsr import trunkApply
+    from moephoto_tpu.ops.warp import backWarp
+
+    n, h, w, _ = inp.shape
+    if featProp is None:
+        featProp = jnp.zeros((1, h, w, NumFeat), inp.dtype)
+    out = []
+    for i in range(n):
+        if flows[i] is not None:
+            featProp = backWarp(
+                featProp.astype(jnp.float32), flows[i][None].astype(jnp.float32)
+            ).astype(inp.dtype)
+        if kfs[i] is not None:
+            featProp = jnp.concatenate([featProp, kfs[i][None]], axis=-1)
+            featProp = conv2d(params, "forward_fusion", featProp, padding=1)
+        featProp = jnp.concatenate([inp[i][None], bwd[i][None], featProp], axis=-1)
+        featProp = trunkApply(params, "forward_trunk", featProp)
+        out.append(featProp[0])
+    return out, featProp
+
+
+def test_backward_scan_matches_loop():
+    from moephoto_tpu.models.iconvsr import _backwardScan, _packOptional, _padBatch
+
+    rng = np.random.RandomState(0)
+    params = _params(rng)
+    h = w = 16
+    n, T = 6, 9  # real frames < chunk: exercises padding
+    inp = jnp.asarray(rng.rand(n, h, w, 3).astype(np.float32))
+    flows = [jnp.asarray((rng.rand(h, w, 2) * 2 - 1).astype(np.float32)) for _ in range(n)]
+    kfs = [None] * n
+    kfs[0] = jnp.asarray(rng.rand(h, w, NumFeat).astype(np.float32))
+    kfs[4] = jnp.asarray(rng.rand(h, w, NumFeat).astype(np.float32))
+
+    for last in (False, True):
+        ref = _loopBackward(params, inp, flows, kfs, last)
+        flowsP = flows + [jnp.zeros((h, w, 2), jnp.float32)] * (T - n)
+        kfStack, kfIdx, kfMask = _packOptional(kfs, n, T, (h, w, NumFeat), jnp.float32)
+        warpM = np.zeros(T, bool)
+        warpM[:n] = True
+        if last:
+            warpM[n - 1] = False
+        validM = np.zeros(T, bool)
+        validM[:n] = True
+        outs = _backwardScan(
+            params,
+            _padBatch(inp, T, jnp.float32),
+            jnp.stack(flowsP),
+            kfStack,
+            kfIdx,
+            kfMask,
+            jnp.asarray(warpM),
+            jnp.asarray(validM),
+        )
+        for i in range(n):
+            np.testing.assert_allclose(
+                np.asarray(outs[i]), np.asarray(ref[i]), atol=2e-5,
+                err_msg=f"last={last} frame {i}",
+            )
+
+
+def test_forward_scan_matches_loop_with_carry():
+    from moephoto_tpu.models.iconvsr import _forwardScan, _packOptional, _padBatch
+
+    rng = np.random.RandomState(1)
+    params = _params(rng)
+    h = w = 16
+    T = 5
+    frames = [jnp.asarray(rng.rand(h, w, 3).astype(np.float32)) for _ in range(8)]
+    bwds = [jnp.asarray(rng.rand(h, w, NumFeat).astype(np.float32)) for _ in range(8)]
+    allFlows = [None] + [
+        jnp.asarray((rng.rand(h, w, 2) * 2 - 1).astype(np.float32)) for _ in range(7)
+    ]
+    allKfs = [None] * 8
+    allKfs[0] = jnp.asarray(rng.rand(h, w, NumFeat).astype(np.float32))
+    allKfs[7] = jnp.asarray(rng.rand(h, w, NumFeat).astype(np.float32))
+
+    refOut, refFp = [], None
+    for s, e in ((0, 5), (5, 8)):
+        o, refFp = _loopForward(
+            params, refFp, jnp.stack(frames[s:e]), bwds[s:e], allFlows[s:e], allKfs[s:e]
+        )
+        refOut.extend(o)
+
+    fp = jnp.zeros((1, h, w, NumFeat), jnp.float32)
+    scanOut = []
+    for s, e in ((0, 5), (5, 8)):
+        n = e - s
+        inp = jnp.stack(frames[s:e])
+        bwd = jnp.stack(bwds[s:e])
+        flows = [
+            f if f is not None else jnp.zeros((h, w, 2), jnp.float32)
+            for f in allFlows[s:e]
+        ] + [jnp.zeros((h, w, 2), jnp.float32)] * (T - n)
+        flowM = np.zeros(T, bool)
+        flowM[:n] = [f is not None for f in allFlows[s:e]]
+        kfStack, kfIdx, kfMask = _packOptional(
+            allKfs[s:e], n, T, (h, w, NumFeat), jnp.float32
+        )
+        validM = np.zeros(T, bool)
+        validM[:n] = True
+        outs, fp = _forwardScan(
+            params,
+            fp,
+            _padBatch(inp, T, jnp.float32),
+            _padBatch(bwd, T, jnp.float32),
+            jnp.stack(flows),
+            kfStack,
+            kfIdx,
+            jnp.asarray(flowM),
+            kfMask,
+            jnp.asarray(validM),
+        )
+        scanOut.extend(outs[i] for i in range(n))
+
+    assert len(scanOut) == len(refOut) == 8
+    for i, (a, b) in enumerate(zip(scanOut, refOut)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, err_msg=f"frame {i}"
+        )
+
+
+@needsReference
+def test_edvr_batched_pcd_exact():
+    """Neighbor-batched PCD EDVR vs the reference torch module, exact
+    (random init; videoSR.py:324-379)."""
+    import os
+
+    from tests.conftest import REFERENCE
+
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+    )
+    from refshim import importReference
+
+    importReference()
+    import torch
+
+    cwd = os.getcwd()
+    os.chdir(REFERENCE)
+    try:
+        import videoSR as RV
+    finally:
+        os.chdir(cwd)
+
+    from moephoto_tpu.models.api import convertStateDict, getPrecision, setPrecision
+    from moephoto_tpu.models.iconvsr import edvrApply
+
+    prev = getPrecision()
+    setPrecision("highest")
+    try:
+        torch.manual_seed(0)
+        mod = RV.EDVRFeatureExtractor(7, 64)
+        # plain random init explodes to NaN through the PCD cascade;
+        # damp every weight (round-1 convention for LFS-stripped ckpts)
+        with torch.no_grad():
+            for prm in mod.parameters():
+                prm.mul_(0.2)
+        mod.eval()
+        rng = np.random.RandomState(0)
+        clip = rng.rand(1, 7, 3, 32, 32).astype(np.float32)
+        with torch.no_grad():
+            ref = mod(torch.from_numpy(clip)).numpy()  # (1, 64, H, W)
+        sd = {f"edvr.{k}": v.numpy() for k, v in mod.state_dict().items()}
+        params = {k: jnp.asarray(v) for k, v in convertStateDict(sd).items()}
+        mine = edvrApply(params, jnp.asarray(clip.transpose(0, 1, 3, 4, 2)))
+        np.testing.assert_allclose(
+            np.asarray(mine)[0], ref.transpose(0, 2, 3, 1)[0], atol=1e-5
+        )
+    finally:
+        setPrecision(prev)

@@ -135,6 +135,34 @@ def test_deform_conv_matches_shim():
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+def test_deform_conv_dense_equals_gather():
+    """The bounded dense (shift-window) DCN path must equal the gather
+    path bit-for-bit-ish on in-margin offsets, and the lax.cond dispatch
+    must fall back to gather when any offset exceeds the margin."""
+    import jax.numpy as jnp
+
+    from moephoto_tpu.ops.deform import deformConv2d
+
+    rng = np.random.RandomState(1)
+    B, H, W, Cin, Cout, dg = 2, 12, 9, 8, 4, 2
+    x = jnp.asarray(rng.rand(B, H, W, Cin).astype(np.float32))
+    mask = jnp.asarray(rng.rand(B, H, W, dg * 9).astype(np.float32))
+    wgt = jnp.asarray(rng.rand(3, 3, Cin, Cout).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.rand(Cout).astype(np.float32))
+
+    offIn = jnp.asarray((rng.rand(B, H, W, 2 * dg * 9).astype(np.float32) - 0.5) * 5.8)
+    dense = deformConv2d(x, offIn, mask, wgt, bias, dg, margin=3)
+    gather = deformConv2d(x, offIn, mask, wgt, bias, dg, margin=0)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(gather), atol=1e-5)
+
+    # out-of-margin offsets: dispatch must select the gather branch and
+    # stay exact (a dense path would clip these samples)
+    offBig = offIn.at[0, 3, 4, 0].set(25.0)
+    big = deformConv2d(x, offBig, mask, wgt, bias, dg, margin=3)
+    bigRef = deformConv2d(x, offBig, mask, wgt, bias, dg, margin=0)
+    np.testing.assert_allclose(np.asarray(big), np.asarray(bigRef), atol=1e-5)
+
+
 def test_deferred_subpixel_conv():
     """deferredSubpixelConv(fine conv) == conv on the interleaved image."""
     import jax
