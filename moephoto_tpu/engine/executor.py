@@ -124,7 +124,15 @@ class ModelExec:
 
         return f
 
-    def _process(self, params, x):
+    def _mesh(self):
+        """Inference mesh from ``config.meshShape`` (None = single
+        device).  Tiles shard across it as pure data parallelism — see
+        engine/tiling._chunked."""
+        from moephoto_tpu.parallel.mesh import activeMesh
+
+        return activeMesh()
+
+    def _process(self, params, x, mesh=None):
         inp = x
         if self.prepare is not None:
             x = self.prepare(x)
@@ -132,7 +140,7 @@ class ModelExec:
         outC = self.outC or x.shape[-1]
 
         def run(img):
-            return tiledApply(img, self._tileFn(params), self.spec, outC)
+            return tiledApply(img, self._tileFn(params), self.spec, outC, mesh)
 
         y = run(x)
         if self.ensemble:
@@ -148,9 +156,15 @@ class ModelExec:
         x = jnp.asarray(x)
         if x.dtype in (jnp.uint8, jnp.uint16, jnp.int32):
             raise TypeError("ModelExec expects a float image in [0, 1]")
-        key = (x.shape, str(x.dtype), self.strength, self.ensemble)
+        mesh = self._mesh()
+        meshKey = tuple(mesh.devices.shape) if mesh is not None else None
+        key = (x.shape, str(x.dtype), self.strength, self.ensemble, meshKey)
         if key not in self._jitCache:
-            self._jitCache[key] = jax.jit(self._process)
+            import functools
+
+            self._jitCache[key] = jax.jit(
+                functools.partial(self._process, mesh=mesh)
+            )
         return self._jitCache[key](self.params, x)
 
     def _processWhole(self, params, x):

@@ -149,14 +149,28 @@ def reflectPadHW(x: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
     return x
 
 
-def _chunked(fn: Callable, tiles: jnp.ndarray, batch: int) -> jnp.ndarray:
+def _chunked(
+    fn: Callable, tiles: jnp.ndarray, batch: int, mesh=None
+) -> jnp.ndarray:
     """Apply ``fn`` over the tile batch in fixed-size chunks.
 
     Chunks run under ``lax.map`` so the model body is compiled ONCE
     regardless of tile count (a Python loop unrolled N copies of the
     model into the XLA program — NAFNet at 1080p took 270 s to
     compile); the final partial chunk is padded to ``batch``.
+
+    With a ``mesh``, each chunk grows to ``batch`` tiles PER DEVICE and
+    a sharding constraint splits the chunk's tile axis across every mesh
+    device — tiles are independent halo-padded work units, so this is
+    exact data parallelism; GSPMD inserts the gather for the blend.
     """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch = batch * mesh.size
+        spec = NamedSharding(mesh, P(tuple(mesh.axis_names), None, None, None))
+        inner = fn
+        fn = lambda t: inner(jax.lax.with_sharding_constraint(t, spec))
     n = tiles.shape[0]
     if n <= batch:
         if n < batch:
@@ -178,6 +192,7 @@ def _tiledApplyImpl(
     fn: Callable,
     spec: TileSpec,
     outC: int,
+    mesh=None,
 ) -> jnp.ndarray:
     h, w, c = x.shape
     tile, pad, align, sc = spec.tile, spec.pad, spec.align, spec.scale
@@ -195,7 +210,7 @@ def _tiledApplyImpl(
         axis=0,
     )  # (n, th, tw, c)
 
-    out_tiles = _chunked(fn, tiles, spec.batch)  # (n, th*sc, tw*sc, outC)
+    out_tiles = _chunked(fn, tiles, spec.batch, mesh)  # (n, th*sc, tw*sc, outC)
     oth, otw = int(round(th * sc)), int(round(tw * sc))
     assert out_tiles.shape[1:3] == (oth, otw), (out_tiles.shape, oth, otw)
 
@@ -250,12 +265,14 @@ def tiledApply(
     fn: Callable,
     spec: TileSpec,
     outC: int | None = None,
+    mesh=None,
 ) -> jnp.ndarray:
     """Tiled application of a batched model ``fn`` to an (H, W, C) image.
 
     ``fn``: (B, th, tw, C) -> (B, th*scale, tw*scale, outC); must accept
-    the static tile shape implied by ``spec``.
+    the static tile shape implied by ``spec``.  ``mesh``: optional device
+    mesh — the tile batch is sharded across it (see ``_chunked``).
     """
     if outC is None:
         outC = x.shape[-1]
-    return _tiledApplyImpl(x, fn, spec, outC)
+    return _tiledApplyImpl(x, fn, spec, outC, mesh)

@@ -29,3 +29,33 @@ def makeMesh(
     assert int(np.prod(shape)) == len(devices), (shape, len(devices))
     arr = np.array(devices).reshape(shape)
     return Mesh(arr, axisNames[: arr.ndim])
+
+
+_activeMesh: list = [None, None]  # [cached mesh, cache key]
+
+
+def activeMesh() -> Optional[Mesh]:
+    """The inference mesh configured by ``config.meshShape`` (e.g.
+    ``[8]`` for 8-way tile data parallelism, ``[2, 4]`` for dp x sp), or
+    None when unset / the devices don't match.  This is what routes the
+    tiled image pipeline across chips (ModelExec consumes it)."""
+    from moephoto_tpu.config import config
+
+    shape = tuple(getattr(config, "meshShape", ()) or ())
+    if not shape or int(np.prod(shape)) <= 1:
+        return None
+    if _activeMesh[1] == shape and _activeMesh[0] is not None:
+        return _activeMesh[0]
+    devices = jax.devices()
+    n = int(np.prod(shape))
+    if n > len(devices):
+        import logging
+
+        logging.getLogger("Moe").warning(
+            "meshShape %s needs %d devices, have %d — running single-device",
+            shape, n, len(devices),
+        )
+        return None
+    mesh = makeMesh(list(shape), devices=devices[:n])
+    _activeMesh[0], _activeMesh[1] = mesh, shape
+    return mesh

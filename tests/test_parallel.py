@@ -72,3 +72,95 @@ def test_sharded_train_step_runs_and_descends():
         p3, l3 = step(p2, xs, ys)
     assert np.isfinite(float(l1))
     assert float(l3) < float(l1)  # loss decreases on the same batch
+
+
+def test_mesh_tiled_inference_bit_equal():
+    """config.meshShape routes ModelExec's tile batch across the mesh
+    (engine/tiling._chunked sharding constraint); output must equal the
+    single-device run exactly — same program, same tile math."""
+    import jax.numpy as jnp
+
+    import __graft_entry__ as GE
+    from moephoto_tpu.config import config
+    from moephoto_tpu.engine.executor import ModelExec
+    from moephoto_tpu.engine.tiling import TileSpec
+    from moephoto_tpu.models.sr import moeNetLite2x2
+    from moephoto_tpu.parallel import mesh as meshMod
+
+    _devices(8)
+    params = GE._lite2Params(2, seed=0)
+    spec = TileSpec(tile=64, pad=4, align=8, scale=2.0, batch=2)
+    rng = np.random.RandomState(0)
+    img = rng.rand(150, 140, 1).astype(np.float32)
+
+    def run():
+        ex = ModelExec(moeNetLite2x2, params, spec, dtype=jnp.float32, name="t")
+        return np.asarray(ex(img))
+
+    old = config.meshShape
+    try:
+        config.meshShape = []
+        single = run()
+        config.meshShape = [8]
+        meshMod._activeMesh[:] = [None, None]
+        multi = run()
+        config.meshShape = [2, 4]
+        meshMod._activeMesh[:] = [None, None]
+        multi24 = run()
+    finally:
+        config.meshShape = old
+        meshMod._activeMesh[:] = [None, None]
+
+    assert single.shape == multi.shape == (300, 280, 1)
+    np.testing.assert_allclose(multi, single, atol=1e-6)
+    np.testing.assert_allclose(multi24, single, atol=1e-6)
+
+
+def test_mesh_step_json_pipeline(tmp_path):
+    """A step-JSON SR request executes sharded on the virtual mesh and
+    matches the single-device pipeline output (VERDICT round-2 item 3)."""
+    import io
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.exists("/root/reference/model/lite/model.pth"):
+        _pytest.skip("no checkpoints")
+    from PIL import Image
+
+    from moephoto_tpu.config import config
+    from moephoto_tpu.parallel import mesh as meshMod
+    from moephoto_tpu.pipeline.steps import genProcess
+    from moephoto_tpu.runtime.context import context
+
+    _devices(8)
+    context.imageMode = "RGB"
+    rng = np.random.RandomState(0)
+    img = (rng.rand(40, 32, 3) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    data = buf.getvalue()
+    context.sharedView = memoryview(data)
+
+    def run(outFile):
+        steps = [
+            {"op": "file"},
+            {"op": "SR", "model": "lite", "scale": 2},
+            {"op": "output", "file": outFile},
+        ]
+        process, _ = genProcess(steps)
+        process(len(data), name=outFile)
+        return np.array(Image.open(outFile))
+
+    old = config.meshShape
+    try:
+        config.meshShape = []
+        single = run(str(tmp_path / "s.png"))
+        config.meshShape = [8]
+        meshMod._activeMesh[:] = [None, None]
+        multi = run(str(tmp_path / "m.png"))
+    finally:
+        config.meshShape = old
+        meshMod._activeMesh[:] = [None, None]
+    assert single.shape == multi.shape == (80, 64, 3)
+    np.testing.assert_array_equal(single, multi)
