@@ -58,9 +58,12 @@ def _deformConvDense(
         ky, kx = divmod(k, kw)
         by = ky * dilation - padding
         bx = kx * dilation - padding
-        dyF = off[..., k, 0]  # (B, H, W, dg)
-        dxF = off[..., k, 1]
-        mk = m[..., k]
+        # per-k slices cast to f32 HERE: casting the whole (B,H,W,dg,K,2)
+        # offset tensor up front materializes ~1.5 GB of transients per
+        # DCN call at 360p B=7 and stalls the composed PCD graph on HBM
+        dyF = off[..., k, 0].astype(jnp.float32)  # (B, H, W, dg)
+        dxF = off[..., k, 1].astype(jnp.float32)
+        mk = m[..., k].astype(jnp.float32)
 
         # fori_loop over the shift window: an unrolled sum materializes
         # hundreds of (B,H,W,C) temporaries and OOMs HBM at B=7 360p;
@@ -175,11 +178,13 @@ def deformConv2d(
     kh, kw = weight.shape[0], weight.shape[1]
     K = kh * kw
     dg = deformableGroups
-    off = offset.reshape(B, H, W, dg, K, 2).astype(jnp.float32)
-    m = mask.reshape(B, H, W, dg, K).astype(jnp.float32)
+    # keep offsets/mask in their native dtype (the offset conv already
+    # produced them there); branches cast per-k slices to f32
+    off = offset.reshape(B, H, W, dg, K, 2)
+    m = mask.reshape(B, H, W, dg, K)
     if margin <= 0:
         return _deformConvGather(x, off, m, weight, bias, dg, padding, dilation)
-    bound = jnp.max(jnp.abs(off))
+    bound = jnp.max(jnp.abs(off.astype(jnp.float32)))
     return lax.cond(
         bound <= float(margin),
         lambda a, o, mm: _deformConvDense(

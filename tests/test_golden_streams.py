@@ -168,6 +168,17 @@ def test_ifrnet_full_pipeline_golden(refEnv):
 
 @needsReference
 def test_iconvsr_full_pipeline_golden(refEnv):
+    """Full assembled-graph golden: the reference's actual StreamState VSR
+    pipeline vs ours, frame for frame.
+
+    Drain recipe (found round 2): the reference's stage batch sizes come
+    from downstream DEMAND (setOutShape free-RAM solve) — with unlimited
+    host RAM the demanded batches exceed the clip and nothing fires, and
+    demands below the 20-frame backward chunk crash its flush on the
+    trailing None flow.  Capping ``opt.bf`` at exactly BackwardChunk=20
+    and feeding >= 2 full chunks reproduces the real video-loop schedule
+    ([20, 20, tail]) — which is also exactly this repo's schedule.
+    Trunks shrink to 2 blocks for test speed (same graph topology)."""
     torch, ckptDir = refEnv
     import videoSR as RV
     from progress import Node as RNode
@@ -181,20 +192,31 @@ def test_iconvsr_full_pipeline_golden(refEnv):
     mods = dict(
         edvr=RV.EDVRFeatureExtractor(7, 64),
         spynet=RV.SpyNet(),
-        backward_trunk=RV.ConvResidualBlocks(64 + 3, 64, 30),
-        forward_trunk=RV.ConvResidualBlocks(2 * 64 + 3, 64, 30),
+        backward_trunk=RV.ConvResidualBlocks(64 + 3, 64, 2),
+        forward_trunk=RV.ConvResidualBlocks(2 * 64 + 3, 64, 2),
         upsample=RV.Upsample(),
         backward_fusion=RV.newFusion(),
         forward_fusion=RV.newFusion(),
     )
+    with torch.no_grad():  # undamped random EDVR explodes to NaN
+        for m in mods.values():
+            for prm in m.parameters():
+                prm.mul_(0.2)
     path = os.path.join(ckptDir, "iconvsr.pth")
     torch.save({k: m.state_dict() for k, m in mods.items()}, path)
     oldPath = RV.modelPath
+    oldF = {k: RV.modules[k]["f"] for k in ("backward_trunk", "forward_trunk")}
     RV.modelPath = path
+    RV.modules["backward_trunk"]["f"] = lambda *_: RV.ConvResidualBlocks(64 + 3, 64, 2)
+    RV.modules["forward_trunk"]["f"] = lambda *_: RV.ConvResidualBlocks(2 * 64 + 3, 64, 2)
     try:
         ropt = RV.getOpt()
     finally:
         RV.modelPath = oldPath
+        for k, v in oldF.items():
+            RV.modules[k]["f"] = v
+    origBf = ropt.bf
+    ropt.bf = lambda load, coef, mem: max(1, min(20, int(origBf(load, coef, mem))))
     ropt.start = 3
     ropt.end = 0
     outRef = []
@@ -204,30 +226,30 @@ def test_iconvsr_full_pipeline_golden(refEnv):
         ropt,
     )
     rng = np.random.RandomState(0)
-    n = 16  # the reference's 7-window keyframe stage needs >= 13 frames
+    n = 45  # >= 2 backward chunks + tail
     frames = [rng.rand(3, 64, 64).astype(np.float32) for _ in range(n)]
     for fr in frames:
         f(torch.from_numpy(fr))
     ropt.end = -3
     f(None)
+    assert len(outRef) == n, f"reference graph drained {len(outRef)}/{n}"
 
-    if not outRef:
-        pytest.skip(
-            "reference StreamState VSR pipeline does not drain outside the "
-            "real video loop (setOutShape programs huge stage batch sizes); "
-            "IconVSR is covered by exact component tests + count tests"
-        )
     params = _convert([(k, m.state_dict()) for k, m in mods.items()])
     opt = JV.VSROpt()
     opt.params = params
     opt.dtype = jnp.float32
     opt.start = 3
-    mine = []
-    g = JV.doVSR(lambda x: [np.asarray(x)], Node({"op": "t"}), opt)
-    for fr in frames:
-        mine.extend(g(jnp.asarray(fr.transpose(1, 2, 0))))
-    opt.end = -3
-    mine.extend(g(None))
+    origTrunk = JV.trunkApply
+    JV.trunkApply = lambda p, prefix, x, numBlocks=2: origTrunk(p, prefix, x, 2)
+    try:
+        mine = []
+        g = JV.doVSR(lambda x: [np.asarray(x)], Node({"op": "t"}), opt)
+        for fr in frames:
+            mine.extend(g(jnp.asarray(fr.transpose(1, 2, 0))))
+        opt.end = -3
+        mine.extend(g(None))
+    finally:
+        JV.trunkApply = origTrunk
     assert len(outRef) == len(mine) == n
     for i, (r, m) in enumerate(zip(outRef, mine)):
         np.testing.assert_allclose(m, r.transpose(1, 2, 0), atol=2e-4,
