@@ -157,8 +157,89 @@ def benchDetail():
         except Exception as e:
             detail[name] = {"error": str(e).splitlines()[0][:120]}
     detail["psnr_bf16_vs_torch_fp32_dB"] = psnrVsReference()
+    detail["psnr_chains_dB"] = psnrChains()
     with open("BENCH_DETAIL.json", "w") as fp:
         json.dump(detail, fp, indent=2)
+
+
+def _psnr(a, b):
+    mse = float(np.mean((np.clip(a, 0, 1) - np.clip(b, 0, 1)) ** 2))
+    return round(10 * np.log10(1.0 / max(mse, 1e-12)), 2)
+
+
+def psnrChains():
+    """BASELINE configs 2-4 as CHAINED pipelines vs the torch chain
+    (catches chained-step regressions the per-model tests can't).
+    Real checkpoints for DN lite5 / SR lite4 / sun / AOD; seeded random
+    weights where the reference mirror is LFS-stripped."""
+    import torch
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from refshim import importReference
+
+    importReference()
+    from moephoto_tpu.pipeline import registry
+
+    out = {}
+    rng = np.random.RandomState(11)
+    img = rng.rand(120, 104, 3).astype(np.float32)
+
+    def torchNet(modName, builder, ckpt=None):
+        cwd = os.getcwd()
+        os.chdir("/root/reference")
+        try:
+            mod = __import__(modName)
+        finally:
+            os.chdir(cwd)
+        torch.manual_seed(0)
+        net = builder(mod)
+        if ckpt and os.path.exists(ckpt):
+            net.load_state_dict(torch.load(ckpt, map_location="cpu", weights_only=False))
+        net.eval()
+        return net
+
+    first = lambda y: y[0] if isinstance(y, (tuple, list)) else y
+
+    # config 2: DN lite5 -> SR lite x4 (real checkpoints; Y-channel nets
+    # run per-channel like the reference's runDN/runSR channel fold)
+    try:
+        dnT = torchNet("models", lambda m: m.NetDN(),
+                       "/root/reference/model/dn_lite5/model_new.pth")
+        srT = torchNet("MoeNet_lite2", lambda m: m.Net(upscale=4),
+                       "/root/reference/model/lite/model_4.pth")
+        x = torch.from_numpy(img.transpose(2, 0, 1)).unsqueeze(1)  # (3,1,H,W)
+        with torch.no_grad():
+            ref = first(srT(first(dnT(x))))
+        ref = ref.squeeze(1).numpy().transpose(1, 2, 0)
+        dn = registry.getDN({"model": "lite5"})
+        sr = registry.getSR({"model": "lite", "scale": 4})
+        ours = np.asarray(sr(dn(jnp.asarray(img))))
+        out["chain2_DNlite5_SRlite4"] = _psnr(ours, ref)
+    except Exception as e:
+        out["chain2_DNlite5_SRlite4"] = f"error: {str(e).splitlines()[0][:90]}"
+
+    # config 4: sun demoire -> AOD dehaze (real checkpoints; AOD applies
+    # the reference's Normalize(.5,.5) prepare)
+    try:
+        sunT = torchNet("sun_demoire", lambda m: m.Net(),
+                        "/root/reference/model/demoire/sun_epoch_200.pth")
+        aodT = torchNet("models", lambda m: m.AODnet(),
+                        "/root/reference/model/dehaze/AOD_net_epoch_relu_10.pth")
+        x = torch.from_numpy(img.transpose(2, 0, 1)).unsqueeze(0)
+        with torch.no_grad():
+            mid = first(sunT(x))
+            ref = first(aodT((mid - 0.5) / 0.5))
+        ref = ref.squeeze(0).numpy().transpose(1, 2, 0)
+        sun = registry.getDehaze({"model": "sun"})
+        aod = registry.getDehaze({"model": "dehaze"})
+        ours = np.asarray(aod(sun(jnp.asarray(img))))
+        out["chain4_sun_AOD"] = _psnr(ours, ref)
+    except Exception as e:
+        out["chain4_sun_AOD"] = f"error: {str(e).splitlines()[0][:90]}"
+
+    return out
 
 
 def _refVideoParams(modules, convT):

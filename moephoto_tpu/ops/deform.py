@@ -185,8 +185,13 @@ def deformConv2d(
     if margin <= 0:
         return _deformConvGather(x, off, m, weight, bias, dg, padding, dilation)
     bound = jnp.max(jnp.abs(off.astype(jnp.float32)))
+    # non-finite offsets (numerically exploded inputs) produce garbage on
+    # EITHER branch; NaN > margin would silently route every call to the
+    # 8x-slower gather path, so prefer the dense branch unless the bound
+    # is finite AND beyond the margin
+    inBounds = jnp.logical_not(bound > float(margin))
     return lax.cond(
-        bound <= float(margin),
+        inBounds,
         lambda a, o, mm: _deformConvDense(
             a, o, mm, weight, bias, dg, padding, dilation, margin
         ),

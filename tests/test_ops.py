@@ -255,7 +255,12 @@ def test_warp_bounded_kernel():
         ref = np.asarray(Wp.warpXLAExact(img, flow, padding_mode=mode))
         got = np.asarray(Wp.warpBounded(img, flow, mode, interpret=True))
         np.testing.assert_allclose(got, ref, atol=2e-5, err_msg=mode)
-    # flows beyond the margin must take the exact XLA fallback branch
+    # medium flows take the wide M=16 kernel tier
+    midFlow = flow * 2.2  # max ~14.3 < 15
+    ref = np.asarray(Wp.warpXLAExact(img, midFlow, padding_mode="border"))
+    got = np.asarray(Wp.warpBounded(img, midFlow, "border", interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    # flows beyond the wide margin must take the exact XLA fallback branch
     bigFlow = flow * 10
     ref = np.asarray(Wp.warpXLAExact(img, bigFlow, padding_mode="border"))
     got = np.asarray(Wp.warpBounded(img, bigFlow, "border", interpret=True))

@@ -98,8 +98,52 @@ def packTests():
     timeIt("two chained dcnPacks B=7", lambda: twoJit(p, l1, feat), iters=2)
 
 
+def bisectPcd():
+    """PCD with DCN stubbed out vs full: isolates the non-DCN cost."""
+    from profile_iconvsr import params
+    import moephoto_tpu.models.iconvsr as mod
+
+    p = params()
+    rng = np.random.RandomState(0)
+    dt = jnp.bfloat16
+    n = 7
+    l1 = jnp.asarray(rng.rand(n, H, W, 64).astype(np.float32), dt)
+    l2 = jnp.asarray(rng.rand(n, H // 2, W // 2, 64).astype(np.float32), dt)
+    l3 = jnp.asarray(rng.rand(n, H // 4, W // 4, 64).astype(np.float32), dt)
+
+    import moephoto_tpu.ops.deform as D
+
+    orig = mod.modulatedDeformConvPack
+    mod.modulatedDeformConvPack = lambda pp, key, x, feat, deformableGroups=8: x
+    try:
+        j = jax.jit(lambda pp, a, b, c: mod._pcdAlign(pp, "edvr.pcd_align", [a, b, c], [a, b, c]))
+        timeIt("pcd NO dcn", lambda: j(p, l1, l2, l3), iters=2)
+    finally:
+        mod.modulatedDeformConvPack = orig
+
+    # full pcd again for the same-session baseline
+    j2 = jax.jit(lambda pp, a, b, c: mod._pcdAlign(pp, "edvr.pcd_align", [a, b, c], [a, b, c]))
+    timeIt("pcd full", lambda: j2(p, l1, l2, l3), iters=2)
+
+    # margin=0 (pure gather, no cond) for reference
+    oldM = D.DCN_MARGIN
+    D.DCN_MARGIN = 0
+
+    def packM0(pp, key, x, feat, deformableGroups=8):
+        return orig(pp, key, x, feat, deformableGroups)
+
+    mod.modulatedDeformConvPack = packM0
+    try:
+        pass  # too slow to time the full gather PCD; skip
+    finally:
+        mod.modulatedDeformConvPack = orig
+        D.DCN_MARGIN = oldM
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "pack":
         packTests()
+    elif len(sys.argv) > 1 and sys.argv[1] == "bisect":
+        bisectPcd()
     else:
         main()
