@@ -419,8 +419,28 @@ def SR_vid(video, by, *steps):
         _drainThread(procIn.stderr)
         _drainThread(procOut.stderr)
         frameBytes = width * height * BYTES_PER_PIXEL
+
+        # double-buffered ingest: a reader thread prefetches the next
+        # raw frame (blocking pipe read + kernel copy) while the main
+        # thread dispatches device work for the current one — the pipe
+        # read no longer serializes with compute (docs/PERF.md cand. 4)
+        import queue as _queue
+
+        frameQ: "_queue.Queue[bytes]" = _queue.Queue(maxsize=2)
+
+        def _reader():
+            while True:
+                try:
+                    b = procIn.stdout.read(frameBytes)
+                except Exception:
+                    b = b""
+                frameQ.put(b)
+                if not b:
+                    break
+
+        threading.Thread(target=_reader, daemon=True).start()
         while (stop < 0 or i <= stop + refs) and not context.stopFlag.is_set():
-            raw = procIn.stdout.read(frameBytes)
+            raw = frameQ.get()
             if len(raw) == 0:
                 break
             _echoDrained()

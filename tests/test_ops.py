@@ -265,3 +265,24 @@ def test_warp_bounded_kernel():
     ref = np.asarray(Wp.warpXLAExact(img, bigFlow, padding_mode="border"))
     got = np.asarray(Wp.warpBounded(img, bigFlow, "border", interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_dcn_pallas_kernel_matches_gather():
+    """Pallas DCN sampling kernel (interpret mode) == exact gather path
+    for in-margin offsets, both deformable-group layouts."""
+    import jax.numpy as jnp
+
+    from moephoto_tpu.ops.dcnkernel import dcnDensePallas
+    from moephoto_tpu.ops.deform import _deformConvGather
+
+    rng = np.random.RandomState(3)
+    B, H, W, Cin, Cout, dg, K = 2, 16, 12, 16, 8, 4, 9
+    x = jnp.asarray(rng.rand(B, H, W, Cin).astype(np.float32))
+    off = jnp.asarray(((rng.rand(B, H, W, dg, K, 2) - 0.5) * 5.8).astype(np.float32))
+    m = jnp.asarray(rng.rand(B, H, W, dg, K).astype(np.float32))
+    wgt = jnp.asarray(rng.rand(3, 3, Cin, Cout).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.rand(Cout).astype(np.float32))
+
+    ref = _deformConvGather(x, off, m, wgt, bias, dg, 1, 1)
+    got = dcnDensePallas(x, off, m, wgt, bias, dg, margin=3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

@@ -45,6 +45,15 @@ def main():
     bias = jnp.asarray(rng.rand(C).astype(np.float32), jnp.bfloat16)
 
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("pallas", "all"):
+        from moephoto_tpu.ops.dcnkernel import dcnDensePallas
+
+        offP = off.reshape(B, H, W, DG, K, 2)
+        mP = m.reshape(B, H, W, DG, K)
+        pj = jax.jit(
+            lambda a, o, mm: dcnDensePallas(a, o, mm, wgt, bias, DG, margin=3)
+        )
+        timeIt("pallas dense margin3 B=7 L1", lambda: pj(x, offP, mP))
     if which in ("dense", "all"):
         for mg in (2, 3):
             dj = jax.jit(
