@@ -13,9 +13,12 @@ Layout (chosen for Mosaic v5e constraints, docs/PERF.md):
     3x read amplification, ~2 ms);
   - (rows, W, C) blocks: window shifts are cheap sublane slices (lane
     slicing is expensive on Mosaic);
-  - per-k offset planes carried on a LEADING K axis (sliced for free);
-  - the (TR*W, dg) group weights broadcast to C lanes by a tiny
-    (dg, C) 0/1 MXU matmul (lane-count-changing reshapes are rejected).
+  - per-k offset planes carried on a LEADING K axis (sliced for free),
+    TRANSPOSED to (dg, TR*tw) so the minor dim is 128-aligned (dg=8
+    minor would lane-pad 16x in HBM);
+  - the (dg, TR*tw) group weights broadcast to C lanes by a tiny
+    (dg, C) 0/1 MXU matmul contracting dim 0 of both operands
+    (lane-count-changing reshapes and transposes are rejected).
 
 Same math as _deformConvDense: bilinear + modulation folded into hat
 weights over the [-margin, margin]^2 shift window; valid only while
@@ -33,8 +36,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _TR = 8  # output rows per program
+_TW = 128  # output cols per program (W=640 blocks explode Mosaic
+#            compile time through the remote helper; 128 compiles in ~10 s)
 
 
 def _dcnKernel(K, dg, margin, padding, dilation, W, Cout, outDtype,
@@ -51,34 +57,80 @@ def _dcnKernel(K, dg, margin, padding, dilation, W, Cout, outDtype,
     cIota = lax.broadcasted_iota(jnp.int32, (dg, C), 1)
     expand = (cIota // cg == gIota).astype(jnp.float32)
 
-    # nested fori loops: the k loop unrolled in Python put 9 copies of
-    # the window loop into one Mosaic program and hung the remote
-    # compile helper; dynamic-k nesting compiles ONE body
+    # Loop structure dictated by Mosaic constraints (docs/PERF.md):
+    #  - the slab's COLUMN dim is the sublane dim: dynamic slice starts
+    #    there must be 8-aligned, so column shifts are Python-unrolled
+    #    STATIC slices with the kernel-tap x-offset folded into the hat
+    #    argument (wx = hat(ox + bx - s) for static total shift s);
+    #  - the slab's ROW dim is untiled, so row starts stay dynamic;
+    #  - ONE fori body over k keeps the program compile-sized (a full
+    #    9-way k unroll hung the remote compile helper); the (dy, s)
+    #    window inside the body is Python-unrolled static slices.
+    # static column shifts s = bx + dx cover every kernel tap x-offset
+    # bx in [-padding, (kw-1)*dilation - padding] combined with the
+    # window dx in [-margin, margin]
+    sMin = -padding - margin
+    sMax = (kw - 1) * dilation - padding + margin
+    nS = sMax - sMin + 1
+
+    expandDims = (((0,), (0,)), ((), ()))
+
     def kBody(k, accOut):
         ky = k // kw
         kx = k % kw
         by = ky * dilation - padding
         bx = kx * dilation - padding
-        oy = oyRef[0, k].astype(jnp.float32).reshape(TRW, dg)
-        ox = oxRef[0, k].astype(jnp.float32).reshape(TRW, dg)
-        mk = mRef[0, k].astype(jnp.float32).reshape(TRW, dg)
-
-        def term(t, acc):
-            dy = t // win - margin
-            dx = t % win - margin
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(oy - dy.astype(jnp.float32)))
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(ox - dx.astype(jnp.float32)))
-            w8 = wy * wx * mk  # (TRW, dg)
-            w64 = jnp.dot(w8, expand, preferred_element_type=jnp.float32)
-            sv = slabRef[0, pl.ds(P + by + dy, _TR), pl.ds(P + bx + dx, W), :]
-            return acc + w64 * sv.astype(jnp.float32).reshape(TRW, C)
-
-        acc = lax.fori_loop(0, win * win, term, jnp.zeros((TRW, C), jnp.float32))
+        # offset planes arrive TRANSPOSED as (dg, TR*W): minor dim TR*W
+        # is 128-aligned (a (.., W, dg) layout pads dg=8 lanes to 128 —
+        # 16x HBM bloat, ~12 GB of operands at B=7 360p); the hat math
+        # runs in (dg, TRW) and the group expansion contracts dim 0 of
+        # BOTH operands so no in-kernel transpose is ever materialized
+        oyT = oyRef[0, k].astype(jnp.float32)  # (dg, TRW)
+        # fold the (traced) tap x-offset into the hat argument so the
+        # column slice start stays STATIC: wx(s) = hat(ox - (s - bx))
+        oxbT = oxRef[0, k].astype(jnp.float32) + bx.astype(jnp.float32)
+        mkT = mRef[0, k].astype(jnp.float32)
+        # bilinear hats are SEPARABLE: expand the per-group row hats
+        # (win of them) and column hats (nS) to per-channel (TRW, C)
+        # ONCE per k — 16 MXU dots instead of one per (dy, s) term (the
+        # per-term dot's contraction dim dg=8 used 6% of the MXU and
+        # dominated the kernel at 333 ms; see docs/PERF.md round 2)
+        wymE = []
+        for d in range(win):
+            wyT = jnp.maximum(
+                0.0, 1.0 - jnp.abs(oyT - float(d - margin))
+            ) * mkT
+            wymE.append(
+                lax.dot_general(
+                    wyT, expand, expandDims,
+                    preferred_element_type=jnp.float32,
+                )
+            )  # (TRW, C)
+        wxE = []
+        for sIdx in range(nS):
+            wxT = jnp.maximum(0.0, 1.0 - jnp.abs(oxbT - float(sMin + sIdx)))
+            wxE.append(
+                lax.dot_general(
+                    wxT, expand, expandDims,
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        acc = jnp.zeros((TRW, C), jnp.float32)
+        for d in range(win):
+            dy = d - margin
+            rows = slabRef[0, pl.ds(P + by + dy, _TR)]  # (_TR, Wp, C)
+            for sIdx in range(nS):
+                s = sMin + sIdx
+                sv = rows[:, P + s : P + s + W, :]
+                acc = acc + wymE[d] * (
+                    wxE[sIdx] * sv.astype(jnp.float32).reshape(TRW, C)
+                )
         return accOut + jnp.dot(
             acc.astype(wRef.dtype), wRef[k], preferred_element_type=jnp.float32
         )
 
-    accOut = lax.fori_loop(0, K, kBody, jnp.zeros((TRW, Cout), jnp.float32))
+    out0 = jnp.zeros((TRW, Cout), jnp.float32)
+    accOut = lax.fori_loop(0, K, kBody, out0)
     outRef[0] = accOut.reshape(_TR, W, Cout).astype(outDtype)
 
 
@@ -101,18 +153,25 @@ def dcnDensePallas(
     assert H % _TR == 0, (H, _TR)
     P = margin + max(padding, dilation) + 1
     nR = H // _TR
+    tw = min(_TW, W)
+    nCl = -(-W // tw)
+    Wp = nCl * tw
 
-    xp = jnp.pad(x, ((0, 0), (P, P), (P, P), (0, 0)))
-    # overlapping row slabs, stacked by XLA (see module docstring)
-    slabs = jnp.stack(
+    xp = jnp.pad(x, ((0, 0), (P, P), (P, P + Wp - W), (0, 0)))
+    # overlapping row+col slabs, stacked by XLA (see module docstring)
+    rows = jnp.stack(
         [xp[:, r * _TR : r * _TR + _TR + 2 * P] for r in range(nR)], axis=1
-    ).reshape(B * nR, _TR + 2 * P, W + 2 * P, C)
+    )  # (B, nR, TR+2P, Wp+2P, C)
+    slabs = jnp.stack(
+        [rows[:, :, :, c * tw : c * tw + tw + 2 * P] for c in range(nCl)], axis=2
+    ).reshape(B * nR * nCl, _TR + 2 * P, tw + 2 * P, C)
 
-    def perK(a):  # (B, H, W, dg, K[, ...]) -> (B*nR, K, TR, W, dg)
+    def perK(a):  # (B, H, W, dg, K) -> (B*nR*nCl, K, dg, TR*tw)
         a = jnp.moveaxis(a, 4, 1)  # (B, K, H, W, dg)
-        a = a.reshape(B, K, nR, _TR, W, dg)
-        a = a.transpose(0, 2, 1, 3, 4, 5)
-        return a.reshape(B * nR, K, _TR, W, dg)
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, Wp - W), (0, 0)))
+        a = a.reshape(B, K, nR, _TR, nCl, tw, dg)
+        a = a.transpose(0, 2, 4, 1, 6, 3, 5)  # (B, nR, nCl, K, dg, TR, tw)
+        return a.reshape(B * nR * nCl, K, dg, _TR * tw)
 
     oy = perK(off[..., 0])
     ox = perK(off[..., 1])
@@ -121,21 +180,28 @@ def dcnDensePallas(
 
     out = pl.pallas_call(
         functools.partial(
-            _dcnKernel, K, dg, margin, padding, dilation, W, Cout, x.dtype
+            _dcnKernel, K, dg, margin, padding, dilation, tw, Cout, x.dtype
         ),
-        grid=(B * nR,),
+        grid=(B * nR * nCl,),
         in_specs=[
-            pl.BlockSpec((1, _TR + 2 * P, W + 2 * P, C), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, K, _TR, W, dg), lambda i: (i, 0, 0, 0, 0)),
-            pl.BlockSpec((1, K, _TR, W, dg), lambda i: (i, 0, 0, 0, 0)),
-            pl.BlockSpec((1, K, _TR, W, dg), lambda i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, _TR + 2 * P, tw + 2 * P, C), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, K, dg, _TR * tw), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, K, dg, _TR * tw), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, K, dg, _TR * tw), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((K, C, Cout), lambda i: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, _TR, W, Cout), lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * nR, _TR, W, Cout), x.dtype),
+        out_specs=pl.BlockSpec((1, _TR, tw, Cout), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * nR * nCl, _TR, tw, Cout), x.dtype),
         interpret=interpret,
+        # the default 16 MB scoped-vmem budget trips XLA's stack check
+        # once the grid exceeds ~8 programs (measured: grid 40 wants
+        # 27 MB); the per-program working set is ~2 MB, v5e VMEM is 128
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(slabs, oy, ox, mk, wStack)
-    out = out.reshape(B, H, W, Cout)
+    out = out.reshape(B, nR, nCl, _TR, tw, Cout).transpose(0, 1, 3, 2, 4, 5)
+    out = out.reshape(B, H, Wp, Cout)[:, :, :W]
     if bias is not None:
         out = (out.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
     return out

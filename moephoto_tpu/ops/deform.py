@@ -190,11 +190,33 @@ def deformConv2d(
     # 8x-slower gather path, so prefer the dense branch unless the bound
     # is finite AND beyond the margin
     inBounds = jnp.logical_not(bound > float(margin))
+
+    # production TPU path: the VMEM-resident Pallas sampler replaces the
+    # HBM-bound XLA shift-window accumulator (879 -> 209 ms per
+    # dcn_pack.l1 call @360p B=7); fp32/CPU parity runs keep the XLA
+    # dense path (same gate shape as models/ifrnet.warpExact)
+    usePallas = (
+        kh == 3
+        and kw == 3
+        and H % 8 == 0
+        and x.shape[-1] % dg == 0
+        and x.shape[-1] <= 128
+        and x.dtype == jnp.bfloat16
+        and jax.default_backend() != "cpu"
+    )
+    if usePallas:
+        from moephoto_tpu.ops.dcnkernel import dcnDensePallas
+
+        dense = lambda a, o, mm: dcnDensePallas(
+            a, o, mm, weight, bias, dg, padding, dilation, margin
+        )
+    else:
+        dense = lambda a, o, mm: _deformConvDense(
+            a, o, mm, weight, bias, dg, padding, dilation, margin
+        )
     return lax.cond(
         inBounds,
-        lambda a, o, mm: _deformConvDense(
-            a, o, mm, weight, bias, dg, padding, dilation, margin
-        ),
+        dense,
         lambda a, o, mm: _deformConvGather(
             a, o, mm, weight, bias, dg, padding, dilation
         ),

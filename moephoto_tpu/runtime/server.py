@@ -470,8 +470,11 @@ def serveStatic(req, path):
     if path.startswith(outDir + "/"):
         candidates.append(safeJoin(os.path.join(cwd, outDir), path.split("/", 1)[-1]))
     if sDir:
+        # NOTE: never join against dirname(sDir) — with the in-repo
+        # frontend that is the repo root, and containment there would
+        # let /download/../<anything-in-repo> through (caught by
+        # tests/test_server.py::test_static_traversal_blocked)
         candidates.append(safeJoin(sDir, path.split("/", 1)[-1]))
-        candidates.append(safeJoin(os.path.dirname(sDir), path))
     for c in candidates:
         if c and os.path.isfile(c):
             import mimetypes

@@ -286,3 +286,13 @@ def test_dcn_pallas_kernel_matches_gather():
     ref = _deformConvGather(x, off, m, wgt, bias, dg, 1, 1)
     got = dcnDensePallas(x, off, m, wgt, bias, dg, margin=3, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    # W > _TW exercises the column-blocked grid (overlapping col slabs +
+    # right-pad) — nCl = 2 with a 56-px ragged tail
+    B, H, W = 1, 8, 184
+    x = jnp.asarray(rng.rand(B, H, W, Cin).astype(np.float32))
+    off = jnp.asarray(((rng.rand(B, H, W, dg, K, 2) - 0.5) * 5.8).astype(np.float32))
+    m = jnp.asarray(rng.rand(B, H, W, dg, K).astype(np.float32))
+    ref = _deformConvGather(x, off, m, wgt, bias, dg, 1, 1)
+    got = dcnDensePallas(x, off, m, wgt, bias, dg, margin=3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
