@@ -504,10 +504,17 @@ def _benchIconVSR(h=360, w=640, n=14, warm=0):
     )
     # damp: plain random init explodes to NaN through the PCD cascade,
     # and NaN offsets would unrealistically force the unbounded-offset
-    # DCN fallback (real checkpoints keep offsets small)
+    # DCN fallback (real checkpoints keep offsets small).  Also sanitize
+    # UNINITIALIZED params first: the reference's ModulatedDeformConvPack
+    # allocates weight/bias via torch.Tensor() with no reset_parameters
+    # (models.py:596-599), i.e. raw memory (1e34/NaN) unless a real
+    # checkpoint overwrites it — garbage there poisons the PCD cascade
+    # and routes every DCN to the slow gather fallback.
     with torch.no_grad():
         for m in mods.values():
             for prm in m.parameters():
+                if not torch.isfinite(prm).all() or prm.abs().max() > 1e3:
+                    prm.normal_(0, 0.05)
                 prm.mul_(0.2)
     params = _refVideoParams([(k, m) for k, m in mods.items()], convT=None)
     opt = JV.VSROpt()

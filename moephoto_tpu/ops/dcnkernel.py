@@ -166,12 +166,15 @@ def dcnDensePallas(
         [rows[:, :, :, c * tw : c * tw + tw + 2 * P] for c in range(nCl)], axis=2
     ).reshape(B * nR * nCl, _TR + 2 * P, tw + 2 * P, C)
 
-    def perK(a):  # (B, H, W, dg, K) -> (B*nR*nCl, K, dg, TR*tw)
+    def perK(a):  # (B, H, W, dg, K) -> (B*nR*nCl, K, dg, TR*tw) f32
         a = jnp.moveaxis(a, 4, 1)  # (B, K, H, W, dg)
         a = jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, Wp - W), (0, 0)))
         a = a.reshape(B, K, nR, _TR, nCl, tw, dg)
         a = a.transpose(0, 2, 4, 1, 6, 3, 5)  # (B, nR, nCl, K, dg, TR, tw)
-        return a.reshape(B * nR * nCl, K, dg, _TR * tw)
+        # materialize the operand in f32: a bf16 (dg=8, TRW) block pads
+        # its sublane dim to the (16, 128) bf16 tile — same HBM bytes as
+        # f32, so the exact dtype is free and the kernel skips the cast
+        return a.reshape(B * nR * nCl, K, dg, _TR * tw).astype(jnp.float32)
 
     oy = perK(off[..., 0])
     ox = perK(off[..., 1])

@@ -50,10 +50,12 @@ def params():
         backward_fusion=RV.newFusion(),
         forward_fusion=RV.newFusion(),
     )
-    with torch.no_grad():  # see bench.py: undamped random init -> NaN
-        for m in mods.values():
+    with torch.no_grad():  # see bench.py: undamped random init -> NaN;
+        for m in mods.values():  # DCN weights are UNINITIALIZED memory
             for prm in m.parameters():
-                prm.mul_(0.2)
+                if not torch.isfinite(prm).all() or prm.abs().max() > 1e3:
+                    prm.normal_(0, 0.05)
+                prm.mul_(float(os.environ.get("DAMP", "0.2")))
     return _refVideoParams([(k, m) for k, m in mods.items()], convT=None)
 
 
