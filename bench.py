@@ -221,20 +221,23 @@ def psnrChains():
         out["chain2_DNlite5_SRlite4"] = f"error: {str(e).splitlines()[0][:90]}"
 
     # config 4: sun demoire -> AOD dehaze (real checkpoints; AOD applies
-    # the reference's Normalize(.5,.5) prepare)
+    # the reference's Normalize(.5,.5) prepare).  The raw torch sun net
+    # needs /16 spatial dims (its runner normally pads via
+    # imageProcess), so this chain uses its own 128x112 input.
     try:
+        img4 = rng.rand(128, 112, 3).astype(np.float32)
         sunT = torchNet("sun_demoire", lambda m: m.Net(),
                         "/root/reference/model/demoire/sun_epoch_200.pth")
         aodT = torchNet("models", lambda m: m.AODnet(),
                         "/root/reference/model/dehaze/AOD_net_epoch_relu_10.pth")
-        x = torch.from_numpy(img.transpose(2, 0, 1)).unsqueeze(0)
+        x = torch.from_numpy(img4.transpose(2, 0, 1)).unsqueeze(0)
         with torch.no_grad():
             mid = first(sunT(x))
             ref = first(aodT((mid - 0.5) / 0.5))
         ref = ref.squeeze(0).numpy().transpose(1, 2, 0)
         sun = registry.getDehaze({"model": "sun"})
         aod = registry.getDehaze({"model": "dehaze"})
-        ours = np.asarray(aod(sun(jnp.asarray(img))))
+        ours = np.asarray(aod(sun(jnp.asarray(img4))))
         out["chain4_sun_AOD"] = _psnr(ours, ref)
     except Exception as e:
         out["chain4_sun_AOD"] = f"error: {str(e).splitlines()[0][:90]}"

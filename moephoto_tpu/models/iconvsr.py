@@ -65,7 +65,15 @@ def spynetApply(params: Params, pair: jnp.ndarray) -> jnp.ndarray:
         up = (
             resizeBilinear(flow, h, w, align_corners=True) * 2.0
         )
-        warped = backWarp(supp[level], up, padding_mode="border")
+        # 3-ch pyramid warps: bf16/TPU rides the Pallas bounded kernel
+        # (XLA gathers are the SpyNet hot spot — docs/PERF.md); fp32/CPU
+        # keeps the exact XLA path for parity runs
+        if pair.dtype == jnp.bfloat16 and jax.default_backend() != "cpu":
+            from moephoto_tpu.ops.warp import backWarpBounded
+
+            warped = backWarpBounded(supp[level], up, padding_mode="border")
+        else:
+            warped = backWarp(supp[level], up, padding_mode="border")
         inp = jnp.concatenate([ref[level], warped, up], axis=-1)
         y = inp
         p = f"spynet.basic_module.{level}"
@@ -358,7 +366,15 @@ upJit = jax.jit(
     + resizeBilinear(inp, inp.shape[1] * 4, inp.shape[2] * 4).astype(jnp.float32)
 )
 
-ForwardChunk = 5
+# dispatch granularity only — the forward scan THREADS its carry across
+# chunks and upsample is per-frame pointwise, so outputs are bit-equal
+# for any size (unlike BackwardChunk, which is semantic: fresh state per
+# chunk, parity-pinned to the reference's [20, 20, tail] schedule).
+# Each dispatch costs ~31 ms through the tunnel; 20-frame forward chunks
+# cut the per-clip dispatch count (docs/PERF.md round 2).  Upsample must
+# stay small: its 4x-res pixel-shuffle intermediate is ~1.2 GB/frame —
+# chunk 20 tried to allocate 24 GB of HBM.
+ForwardChunk = 20
 UpsampleChunk = 4
 
 
@@ -439,7 +455,12 @@ def doVSR(func, node, opt: VSROpt):
             return [None, None]
         n = inp.shape[0]
         h, w = inp.shape[1], inp.shape[2]
-        T = BackwardChunk
+        # tail-exact scan length: the valid/warp masks already make the
+        # pad frames semantic no-ops, so compiling the tail size instead
+        # of padding to the full chunk is bit-equal and skips up to
+        # 6x36 ms of padded compute per clip (one extra cached compile
+        # per distinct tail length)
+        T = min(n, BackwardChunk)
         flows = [
             f if f is not None else jnp.zeros((h, w, 2), jnp.float32)
             for f in flowInp[:n]
@@ -475,7 +496,7 @@ def doVSR(func, node, opt: VSROpt):
     def calcForward(inp, flowInp, keyframeFeat, backward, last=None):
         n = inp.shape[0]
         h, w = inp.shape[1], inp.shape[2]
-        T = max(n, ForwardChunk)
+        T = n  # tail-exact (see calcBackward)
         featProp = forwardState["featProp"]
         if featProp is None:
             featProp = jnp.zeros((1, h, w, NumFeat), opt.dtype)
@@ -508,7 +529,7 @@ def doVSR(func, node, opt: VSROpt):
 
     def doUpsample(inp, forward, last=None):
         n = inp.shape[0]
-        T = max(n, UpsampleChunk)
+        T = n  # tail-exact (see calcBackward)
         out = upJit(
             opt.params,
             _padBatch(inp, T, opt.dtype),
@@ -549,7 +570,7 @@ def doVSR(func, node, opt: VSROpt):
     graph.tee(keyframeFeatureS, [keyframeFeature1, keyframeFeature2])
     graph.stage(
         nodes[1].bindFunc(calcFlowBackward), [flowBackwardInp], [flowBackward],
-        size=4, flushOnce=True,  # batch SpyNet pairs (ref schedules 1 at a time)
+        size=10, flushOnce=True,  # batch SpyNet pairs (ref schedules 1 at a time)
     )
     graph.stage(
         nodes[2].bindFunc(calcBackward),
@@ -558,7 +579,7 @@ def doVSR(func, node, opt: VSROpt):
         size=BackwardChunk,
         flushOnce=True,
     )
-    graph.stage(nodes[3].bindFunc(calcFlowForward), [flowForwardInp], [flowForward], size=4)
+    graph.stage(nodes[3].bindFunc(calcFlowForward), [flowForwardInp], [flowForward], size=10)
     graph.stage(
         nodes[4].bindFunc(calcForward),
         [inp1, flowForward, keyframeFeature2, backward],

@@ -115,6 +115,34 @@ def netDN(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     return u + res
 
 
+def netDNS2dParams(params: Params) -> Params:
+    """One-time weight transform for :func:`netDNS2d` (models/s2d.py)."""
+    from moephoto_tpu.models.s2d import s2dTransform
+
+    c3 = ["conv_input", "conv_input2", "u", "convt_R1"]
+    vecs = ["relu.weight"]
+    for i in range(6):
+        c3 += [f"convt_F{i + 1}.0.conv_1", f"convt_F{i + 1}.0.conv_2"]
+        vecs += [f"convt_F{i + 1}.0.relu.weight"]
+    return s2dTransform(params, c3, vecs=vecs)
+
+
+def netDNS2d(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """netDN executed in the space-to-depth domain: 48-ch convs run at
+    ~17 TF/s on v5e from lane padding; the 4x-channel zero-structured
+    equivalent kernel wins 1.48x per original pixel composed with plane
+    packing (models/s2d.py).  Params must be pre-transformed by
+    :func:`netDNS2dParams`; the graph itself is unchanged — ARSB blocks,
+    PReLU and the residual heads all commute with the domain change."""
+    from moephoto_tpu.models.s2d import depthToSpace2, spaceToDepth2
+
+    x2 = spaceToDepth2(x)
+    out, f = _mynetTrunk(params, x2)
+    u = conv2d(params, "u", out, padding=1)
+    res = conv2d(params, "convt_R1", f, padding=1)
+    return depthToSpace2(u + res)
+
+
 def _sednBlock(params: Params, p: str, x: jnp.ndarray) -> jnp.ndarray:
     """SE residual conv block (reference ``_Conv_Block`` models.py:166-206)."""
     out = conv2d(params, p + ".rblock.0", x, padding=1)

@@ -224,6 +224,27 @@ def warpXLAExact(img, flow, padding_mode="border"):
     return gridSample(img, grid, align_corners=True, padding_mode=padding_mode)
 
 
+def backWarpBounded(img, flow, padding_mode="border", interpret=False):
+    """``backWarp`` semantics on the Pallas bounded-warp path.
+
+    backWarp (reference videoSR.py:43-72) normalizes grid+flow by W and
+    denormalizes by W-1 (align_corners), so it samples at
+    ``(x+u)*(W-1)/W`` — NOT ``x+u``.  Folding that quirk into a
+    pixel-offset flow ``u' = u*(W-1)/W - x/W`` makes it exactly
+    ``warpXLAExact`` with flow ``u'``, which the tiered Pallas kernel
+    reproduces.  |u'| <= |u| + 1, so the bound tiers still apply.
+    Used for SpyNet's 3-ch pyramid warps (10 per frame pair)."""
+    B, H, W, _ = img.shape
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    u = flow[..., 0].astype(jnp.float32)
+    v = flow[..., 1].astype(jnp.float32)
+    up = u * ((W - 1.0) / W) - xs[None, None, :] * (1.0 / W)
+    vp = v * ((H - 1.0) / H) - ys[None, :, None] * (1.0 / H)
+    flowP = jnp.stack([up, vp], axis=-1)
+    return warpBounded(img, flowP, padding_mode, interpret=interpret)
+
+
 def warpBounded(img, flow, padding_mode="border", fallback=None, interpret=False):
     """Pixel-offset bilinear warp, 3-way dispatched on in-graph max|flow|:
     the M=8 Pallas kernel (8.2x over XLA) for |flow| < 7, the wide M=16

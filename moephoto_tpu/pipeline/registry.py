@@ -191,22 +191,29 @@ def buildExec(entry: dict, strength: float = 1.0, ensemble: int = 0,
     dtype = jnp.float32 if entry["fp32"] else config.dtype()
     import jax
 
-    if (
-        dtype == jnp.bfloat16
-        and jax.default_backend() != "cpu"
-        and hasattr(mod, entry["fn"] + "F")
-    ):
+    onTPU = dtype == jnp.bfloat16 and jax.default_backend() != "cpu"
+    if onTPU and hasattr(mod, entry["fn"] + "F"):
         # bf16 production path: Pallas-fused variant (TPU only; fp32
         # parity runs and CPU-only hosts keep the plain XLA path)
         fn = getattr(mod, entry["fn"] + "F")
+    # space-to-depth variant hook (models/s2d.py): measured a NET LOSS
+    # for the packed 48-ch trunks it was built for (22.8 vs 13.2 ms per
+    # netDN chunk — the 4x structural FLOPs outrun the 96->384-lane
+    # efficiency gain; docs/PERF.md round 2), so no entry opts in today.
+    # The mechanism stays for genuinely narrow unpacked trunks.
+    useS2d = onTPU and entry.get("s2d", False) and hasattr(mod, entry["fn"] + "S2d")
+    if useS2d:
+        fn = getattr(mod, entry["fn"] + "S2d")
     packed = entry.get("packed", False)
-    pKey = key + ("|packed" if packed else "")
+    pKey = key + ("|packed" if packed else "") + ("|s2d" if useS2d else "")
     if pKey not in _paramsCache:
         path = modelPath(entry["path"])
         log.info("loading model %s", path)
         params = M.loadTorchWeights(path, entry["convT"], dtype=dtype)
         if packed:
             params = M.packBlockDiag(params, 2)
+        if useS2d:
+            params = getattr(mod, entry["fn"] + "S2dParams")(params)
         _paramsCache[pKey] = params
     ex = ModelExec(
         fn,

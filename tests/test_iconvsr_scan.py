@@ -219,9 +219,14 @@ def test_edvr_batched_pcd_exact():
         torch.manual_seed(0)
         mod = RV.EDVRFeatureExtractor(7, 64)
         # plain random init explodes to NaN through the PCD cascade;
-        # damp every weight (round-1 convention for LFS-stripped ckpts)
+        # damp every weight (round-1 convention for LFS-stripped ckpts).
+        # The DCN weights are raw UNINITIALIZED memory (reference
+        # models.py:596-599) — comparing 1e34-scale garbage is flaky, so
+        # replace non-finite/huge params with seeded noise first.
         with torch.no_grad():
             for prm in mod.parameters():
+                if not torch.isfinite(prm).all() or prm.abs().max() > 1e3:
+                    prm.normal_(0, 0.05)
                 prm.mul_(0.2)
         mod.eval()
         rng = np.random.RandomState(0)

@@ -267,6 +267,28 @@ def test_warp_bounded_kernel():
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
+def test_backwarp_bounded_matches_backwarp():
+    """backWarpBounded (normalization quirk folded into a pixel-offset
+    flow, Pallas interpret) == backWarp exactly — SpyNet's pyramid-warp
+    production path."""
+    import jax.numpy as jnp
+
+    from moephoto_tpu.ops import warp as Wp
+
+    rng = np.random.RandomState(11)
+    B, H, W, C = 2, 24, 40, 3
+    img = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    flow = jnp.asarray(((rng.rand(B, H, W, 2) - 0.5) * 8).astype(np.float32))
+    ref = np.asarray(Wp.backWarp(img, flow, padding_mode="border"))
+    got = np.asarray(Wp.backWarpBounded(img, flow, "border", interpret=True))
+    np.testing.assert_allclose(got, ref, atol=3e-5)
+    # large flows must agree through the XLA fallback tier too
+    big = flow * 8
+    ref = np.asarray(Wp.backWarp(img, big, padding_mode="border"))
+    got = np.asarray(Wp.backWarpBounded(img, big, "border", interpret=True))
+    np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
 def test_dcn_pallas_kernel_matches_gather():
     """Pallas DCN sampling kernel (interpret mode) == exact gather path
     for in-margin offsets, both deformable-group layouts."""

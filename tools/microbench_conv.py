@@ -29,10 +29,12 @@ REPS = 4
 
 def convChain(x, w):
     dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    k = w.shape[0]
+    pads = ((1, 1), (1, 1)) if k == 3 else ((0, k - 1), (0, k - 1))
 
     def body(i, v):
         return lax.conv_general_dilated(
-            v, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
+            v, w, (1, 1), pads, dimension_numbers=dn,
             preferred_element_type=jnp.float32,
         ).astype(v.dtype)
 
@@ -62,9 +64,12 @@ def main():
     # baseline 48-ch family tile stack (24 planes of 256^2)
     run("conv3x3  48ch 24x256^2", 24, 256, 256, 48)
     run("conv3x3  96ch 24x256^2 (pack2)", 24, 256, 256, 96)
-    # s2d: same original pixels, 1/4 area, 4x channels
+    # s2d: same original pixels, 1/4 area, 4x channels.  NOTE the
+    # s2d-of-96 comparison partner for case 2 is the 128^2 row — an
+    # earlier 64^2 "s2d+pack2" row covered only 1/4 of case 2's pixels
+    # and made s2d+pack look 1.48x faster when it is really ~1.7x
+    # SLOWER (confirmed against the real netDN model; docs/PERF.md)
     run("conv3x3 192ch 24x128^2 (s2d)", 24, 128, 128, 192)
-    run("conv3x3 384ch 24x64sq (s2d+pack2)", 24, 64, 64, 384)
     run("conv3x3 384ch 24x128^2 (s2d of 96)", 24, 128, 128, 384)
     # reference points
     run("conv3x3 128ch 24x256^2", 24, 256, 256, 128)
