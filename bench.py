@@ -220,6 +220,38 @@ def psnrChains():
     except Exception as e:
         out["chain2_DNlite5_SRlite4"] = f"error: {str(e).splitlines()[0][:90]}"
 
+    # config 3: MPRNet denoise -> NAFNet-32 (both checkpoints
+    # LFS-stripped upstream: seeded random reference weights on BOTH
+    # sides — still catches chained-step regressions)
+    try:
+        from moephoto_tpu.engine.executor import ModelExec
+        from moephoto_tpu.engine.tiling import TileSpec
+        from moephoto_tpu.models.mprnet import makeMPRNet
+        from moephoto_tpu.models.nafnet import nafNetSIDD32
+
+        img3 = rng.rand(128, 112, 3).astype(np.float32)
+        # reduced MPRNet config (the parity-test convention for the
+        # LFS-stripped checkpoint): same graph, faster seeded-random run
+        mprT = torchNet("MPRNet", lambda m: m.MPRNet(n_feat=16, scale_unetfeats=8,
+                                                     scale_orsnetfeats=8, num_cab=2))
+        nafT = torchNet("NAFNet", lambda m: m.NAFNet(
+            width=32, middle_blk_num=12, enc_blk_nums=[2, 2, 4, 8],
+            dec_blk_nums=[2, 2, 2, 2]))
+        x = torch.from_numpy(img3.transpose(2, 0, 1)).unsqueeze(0)
+        with torch.no_grad():
+            ref = first(nafT(first(mprT(x))))
+        ref = ref.squeeze(0).numpy().transpose(1, 2, 0)
+        mprP = _refVideoParams([("", mprT)], convT=None)
+        mprP = {k.lstrip("."): v for k, v in mprP.items()}
+        nafP = _refVideoParams([("", nafT)], convT=None)
+        nafP = {k.lstrip("."): v for k, v in nafP.items()}
+        mpr = ModelExec(makeMPRNet(16, 8, 8, 2), mprP, TileSpec(256, 8, 8, 1.0, 2), name="mpr3")
+        naf = ModelExec(nafNetSIDD32, nafP, TileSpec(256, 16, 16, 1.0, 4), name="naf3")
+        ours = np.asarray(naf(mpr(jnp.asarray(img3))))
+        out["chain3_MPRNet_NAFNet"] = _psnr(ours, ref)
+    except Exception as e:
+        out["chain3_MPRNet_NAFNet"] = f"error: {str(e).splitlines()[0][:90]}"
+
     # config 4: sun demoire -> AOD dehaze (real checkpoints; AOD applies
     # the reference's Normalize(.5,.5) prepare).  The raw torch sun net
     # needs /16 spatial dims (its runner normally pads via
