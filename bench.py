@@ -16,14 +16,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-# bench compares against reference checkpoints: enable the explicit
-# dev-only reference fallback (see pipeline/registry.modelPath)
-if os.path.isdir("/root/reference"):
-    os.environ.setdefault("MOEPHOTO_REFERENCE_ROOT", "/root/reference")
+# bench compares against reference checkpoints: the dev-only reference
+# fallback is enabled by __graft_entry__'s guarded env setdefault (the
+# single place that knows the dev mount path)
+import __graft_entry__  # noqa: F401
 
-from moephoto_tpu.config import enableCompilationCache
+from moephoto_tpu.config import enableCompilationCache, referenceRoot
+from moephoto_tpu.pipeline.registry import modelPath
 
 enableCompilationCache()
+
+
+def _refRoot() -> str:
+    ref = referenceRoot()
+    if not ref:
+        raise RuntimeError("reference checkout not configured "
+                           "(MOEPHOTO_REFERENCE_ROOT / config.referenceRoot)")
+    return ref
 
 H, W = 1080, 1920
 WARMUP = 2
@@ -72,15 +81,15 @@ def benchTorchCPU():
 
         importReference()
         cwd = os.getcwd()
-        os.chdir("/root/reference")
+        os.chdir(_refRoot())
         try:
             from MoeNet_lite2 import Net
         finally:
             os.chdir(cwd)
         net = Net(upscale=4)
-        path = "/root/reference/model/lite/model_4.pth"
+        path = modelPath("model/lite/model_4.pth")
         if os.path.exists(path):
-            net.load_state_dict(torch.load(path, map_location="cpu", weights_only=False))
+            net.load_state_dict(torch.load(path, map_location="cpu", weights_only=True))
         net.eval()
         tile = 256
         x = torch.rand(3, 1, tile, tile)
@@ -188,7 +197,7 @@ def psnrChains():
 
     def torchNet(modName, builder, ckpt=None):
         cwd = os.getcwd()
-        os.chdir("/root/reference")
+        os.chdir(_refRoot())
         try:
             mod = __import__(modName)
         finally:
@@ -196,7 +205,7 @@ def psnrChains():
         torch.manual_seed(0)
         net = builder(mod)
         if ckpt and os.path.exists(ckpt):
-            net.load_state_dict(torch.load(ckpt, map_location="cpu", weights_only=False))
+            net.load_state_dict(torch.load(ckpt, map_location="cpu", weights_only=True))
         net.eval()
         return net
 
@@ -206,9 +215,9 @@ def psnrChains():
     # run per-channel like the reference's runDN/runSR channel fold)
     try:
         dnT = torchNet("models", lambda m: m.NetDN(),
-                       "/root/reference/model/dn_lite5/model_new.pth")
+                       modelPath("model/dn_lite5/model_new.pth"))
         srT = torchNet("MoeNet_lite2", lambda m: m.Net(upscale=4),
-                       "/root/reference/model/lite/model_4.pth")
+                       modelPath("model/lite/model_4.pth"))
         x = torch.from_numpy(img.transpose(2, 0, 1)).unsqueeze(1)  # (3,1,H,W)
         with torch.no_grad():
             ref = first(srT(first(dnT(x))))
@@ -259,9 +268,9 @@ def psnrChains():
     try:
         img4 = rng.rand(128, 112, 3).astype(np.float32)
         sunT = torchNet("sun_demoire", lambda m: m.Net(),
-                        "/root/reference/model/demoire/sun_epoch_200.pth")
+                        modelPath("model/demoire/sun_epoch_200.pth"))
         aodT = torchNet("models", lambda m: m.AODnet(),
-                        "/root/reference/model/dehaze/AOD_net_epoch_relu_10.pth")
+                        modelPath("model/dehaze/AOD_net_epoch_relu_10.pth"))
         x = torch.from_numpy(img4.transpose(2, 0, 1)).unsqueeze(0)
         with torch.no_grad():
             mid = first(sunT(x))
@@ -302,7 +311,7 @@ def _refModules():
 
     torch.manual_seed(0)
     cwd = os.getcwd()
-    os.chdir("/root/reference")
+    os.chdir(_refRoot())
     try:
         import ESTRNN as RE
         import IFRNet as RI
@@ -311,11 +320,16 @@ def _refModules():
     return RE, RI
 
 
-def _timeStream(g, frames, warm):
+def _timeStream(g, frames, warm, passes=3):
     """Wall-clock frames through a stream graph, syncing once per frame
     (one stacked reduce per frame: a real pipeline reads every frame
     back anyway, and unsynced feeding lets stream-stage batch sizes grow
-    into fresh shapes that recompile inside the timed window)."""
+    into fresh shapes that recompile inside the timed window).
+
+    The steady-state window after ``warm`` is split into ``passes``
+    equal groups timed independently so callers can report
+    median + spread instead of a single noisy pass (tunnel RPC jitter
+    produced 1.6x run-to-run swings on identical code in round 2)."""
     import jax.numpy as jnp
 
     def step(fr):
@@ -325,10 +339,33 @@ def _timeStream(g, frames, warm):
 
     for fr in frames[:warm]:
         step(fr)
-    t0 = time.perf_counter()
-    for fr in frames[warm:]:
-        step(fr)
-    return time.perf_counter() - t0
+    rest = frames[warm:]
+    k = max(1, len(rest) // passes)
+    dts = []
+    for p in range(passes):
+        group = rest[p * k:(p + 1) * k]
+        if not group:
+            break
+        t0 = time.perf_counter()
+        for fr in group:
+            step(fr)
+        dts.append((time.perf_counter() - t0, len(group)))
+    return dts
+
+
+def _medianRow(rates):
+    """BENCH_DETAIL row from per-pass Mpx/s rates: median + spread
+    (max-min as a fraction of the median)."""
+    rates = sorted(rates)
+    med = rates[len(rates) // 2] if len(rates) % 2 else 0.5 * (
+        rates[len(rates) // 2 - 1] + rates[len(rates) // 2])
+    spread = (rates[-1] - rates[0]) / med if med else 0.0
+    return {
+        "Mpx_per_s": round(med, 3),
+        "median": round(med, 3),
+        "spread_pct": round(100 * spread, 1),
+        "passes": [round(r, 3) for r in rates],
+    }
 
 
 def _benchNAFNet(h=1080, w=1920):
@@ -349,7 +386,7 @@ def _benchNAFNet(h=1080, w=1920):
 
     torch.manual_seed(0)
     cwd = os.getcwd()
-    os.chdir("/root/reference")
+    os.chdir(_refRoot())
     try:
         from NAFNet import NAFNet
     finally:
@@ -388,7 +425,7 @@ def _benchSEDN(h=1080, w=1920):
 
     torch.manual_seed(0)
     cwd = os.getcwd()
-    os.chdir("/root/reference")
+    os.chdir(_refRoot())
     try:
         from models import SEDN
     finally:
@@ -406,7 +443,7 @@ def _benchSEDN(h=1080, w=1920):
     return round(h * w / 1e6 / ((time.perf_counter() - t0) / 4), 3)
 
 
-def _benchESTRNN(h=720, w=1280, n=22, warm=12):
+def _benchESTRNN(h=720, w=1280, n=36, warm=12):
     # warm must cover every stream-stage batch shape: late shapes would
     # otherwise compile inside the timed window (first-run 6.9 vs
     # steady-state 17.4 Mpx/s)
@@ -431,11 +468,11 @@ def _benchESTRNN(h=720, w=1280, n=22, warm=12):
     g = JE.doESTRNN(lambda x: [red(x)], Node({"op": "t"}), opt)
     rng = np.random.RandomState(0)
     frames = [jnp.asarray(rng.rand(h, w, 3).astype(np.float32)) for _ in range(n)]
-    dt = _timeStream(g, frames, warm)
-    return round((n - warm) * h * w / 1e6 / dt, 3)
+    dts = _timeStream(g, frames, warm)
+    return _medianRow([cnt * h * w / 1e6 / dt for dt, cnt in dts])
 
 
-def _benchIFRNet(h=720, w=1280, n=18, warm=10):
+def _benchIFRNet(h=720, w=1280, n=28, warm=10):
     import jax
     import jax.numpy as jnp
 
@@ -463,8 +500,8 @@ def _benchIFRNet(h=720, w=1280, n=18, warm=10):
     g = JI.doSlomo(lambda x: [red(x)], Node({"op": "t"}), opt)
     rng = np.random.RandomState(0)
     frames = [jnp.asarray(rng.rand(h, w, 3).astype(np.float32)) for _ in range(n)]
-    dt = _timeStream(g, frames, warm)
-    return round((n - warm) * h * w / 1e6 / dt, 3)
+    dts = _timeStream(g, frames, warm)
+    return _medianRow([cnt * h * w / 1e6 / dt for dt, cnt in dts])
 
 
 def psnrVsReference():
@@ -480,7 +517,7 @@ def psnrVsReference():
 
         importReference()
         cwd = os.getcwd()
-        os.chdir("/root/reference")
+        os.chdir(_refRoot())
         try:
             from MoeNet_lite2 import Net
         finally:
@@ -489,7 +526,7 @@ def psnrVsReference():
 
         net = Net(upscale=2)
         net.load_state_dict(
-            torch.load("/root/reference/model/lite/model.pth", map_location="cpu", weights_only=False)
+            torch.load(modelPath("model/lite/model.pth"), map_location="cpu", weights_only=True)
         )
         net.eval()
         rng = np.random.RandomState(7)
@@ -523,7 +560,7 @@ def _benchIconVSR(h=360, w=640, n=14, warm=0):
 
     torch.manual_seed(0)
     cwd = os.getcwd()
-    os.chdir("/root/reference")
+    os.chdir(_refRoot())
     try:
         import videoSR as RV
     finally:
@@ -579,8 +616,11 @@ def _benchIconVSR(h=360, w=640, n=14, warm=0):
         return time.perf_counter() - t0, len(vals)
 
     fullRun()  # compile pass (module-level stage jits persist)
-    dt, outs = fullRun()
-    return round(outs * h * w / 1e6 / dt, 3)
+    rates = []
+    for _ in range(3):
+        dt, outs = fullRun()
+        rates.append(outs * h * w / 1e6 / dt)
+    return _medianRow(rates)
 
 
 def main():

@@ -187,6 +187,11 @@ class ModelExec:
         return y
 
     def applyWhole(self, x) -> jnp.ndarray:
+        """Whole-image apply.  NOTE: deliberately single-device — the
+        untiled path exists for models whose output depends on global
+        image statistics (AiLUT backbone codes), so there is no tile
+        batch to shard; ``config.meshShape`` only affects the tiled
+        path (see ``tiling.runTiled``)."""
         x = jnp.asarray(x)
         key = ("whole", x.shape, str(x.dtype), self.strength)
         if key not in self._jitCache:

@@ -184,11 +184,16 @@ def deformConv2d(
     m = mask.reshape(B, H, W, dg, K)
     if margin <= 0:
         return _deformConvGather(x, off, m, weight, bias, dg, padding, dilation)
+    # PERF CLIFF: dispatch is on the GLOBAL max |offset| over the whole
+    # batch — one outlier offset routes the entire call to the ~8-13x
+    # slower gather path (real checkpoints keep offsets small; random
+    # init must be sanitized, see docs/PERF.md round-2 notes)
     bound = jnp.max(jnp.abs(off.astype(jnp.float32)))
-    # non-finite offsets (numerically exploded inputs) produce garbage on
-    # EITHER branch; NaN > margin would silently route every call to the
-    # 8x-slower gather path, so prefer the dense branch unless the bound
-    # is finite AND beyond the margin
+    # non-finite offsets (NaN or +/-Inf from numerically exploded
+    # inputs) produce garbage on EITHER branch; route them uniformly to
+    # the fast dense branch instead of letting `Inf > margin` (or a
+    # False `NaN > margin`) pick a path by accident
+    bound = jnp.where(jnp.isfinite(bound), bound, 0.0)
     inBounds = jnp.logical_not(bound > float(margin))
 
     # production TPU path: the VMEM-resident Pallas sampler replaces the

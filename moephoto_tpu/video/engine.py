@@ -426,21 +426,33 @@ def SR_vid(video, by, *steps):
         # read no longer serializes with compute (docs/PERF.md cand. 4)
         import queue as _queue
 
-        frameQ: "_queue.Queue[bytes]" = _queue.Queue(maxsize=2)
+        frameQ: "_queue.Queue" = _queue.Queue(maxsize=2)
+        readerStop = threading.Event()
 
         def _reader():
-            while True:
+            # decoder-pipe I/O errors travel through the queue as the
+            # exception object (re-raised by the main loop) instead of
+            # masquerading as clean EOF; bounded puts poll readerStop so
+            # an aborted task can't leave this thread blocked forever
+            while not readerStop.is_set():
                 try:
                     b = procIn.stdout.read(frameBytes)
-                except Exception:
-                    b = b""
-                frameQ.put(b)
-                if not b:
+                except Exception as e:  # noqa: BLE001 - forwarded
+                    b = e
+                while not readerStop.is_set():
+                    try:
+                        frameQ.put(b, timeout=0.2)
+                        break
+                    except _queue.Full:
+                        continue
+                if not isinstance(b, (bytes, bytearray)) or len(b) == 0:
                     break
 
         threading.Thread(target=_reader, daemon=True).start()
         while (stop < 0 or i <= stop + refs) and not context.stopFlag.is_set():
             raw = frameQ.get()
+            if isinstance(raw, Exception):
+                raise raw
             if len(raw) == 0:
                 break
             _echoDrained()
@@ -469,6 +481,10 @@ def SR_vid(video, by, *steps):
         procMerge, mergeErr = _mergeTracks(mergeCmd)
     finally:
         log.info("Video processing end at frame #%d.", i - refs)
+        try:
+            readerStop.set()
+        except NameError:
+            pass  # failed before ingest setup
         procIn.terminate()
         procOut.terminate()
         if procMerge:

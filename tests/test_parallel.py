@@ -124,7 +124,9 @@ def test_mesh_step_json_pipeline(tmp_path):
 
     import pytest as _pytest
 
-    if not os.path.exists("/root/reference/model/lite/model.pth"):
+    from moephoto_tpu.pipeline.registry import modelPath
+
+    if not os.path.exists(modelPath("model/lite/model.pth")):
         _pytest.skip("no checkpoints")
     from PIL import Image
 

@@ -33,8 +33,10 @@ def params():
     import torch
 
     torch.manual_seed(0)
+    from moephoto_tpu.config import referenceRoot
+
     cwd = os.getcwd()
-    os.chdir("/root/reference")
+    os.chdir(referenceRoot() or ".")
     try:
         import videoSR as RV
     finally:
