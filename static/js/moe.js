@@ -123,7 +123,7 @@
         var lab = document.createElement('label');
         lab.textContent = f.label + ' ';
         var inp = fieldInput(f, st[f.key]);
-        inp.addEventListener('change', function () { st[f.key] = inp.value; });
+        inp.addEventListener('change', function () { st[f.key] = inp.value; renderSummary(); });
         lab.appendChild(inp);
         row.appendChild(lab);
       });
@@ -133,6 +133,7 @@
       row.appendChild(del);
       list.appendChild(row);
     });
+    renderSummary();
   }
 
   function buildAdders(mode) {
@@ -154,6 +155,20 @@
     });
   }
 
+  function numVal(id) {
+    var el = $(id);
+    if (!el || el.value === '') return 0;
+    var n = Number(el.value);
+    return isNaN(n) ? 0 : n;
+  }
+
+  function diagnoseOpt() {
+    var d = {};
+    if ($('diagBench') && $('diagBench').checked) d.bench = true;
+    if ($('diagClear') && $('diagClear').checked) d.clear = true;
+    return d;
+  }
+
   function stepsJSON(mode) {
     var out = steps.map(function (st) {
       var o = { op: st.op };
@@ -165,16 +180,101 @@
       if (st.op === 'slomo' && o.dedupe) o.dedupe = true;
       return o;
     });
+    var diag = diagnoseOpt();
     if (mode === 'video') {
+      // engine layout (video/engine.py prepare): steps[0]=decode,
+      // steps[1]=range, steps[-1]=output/encode
+      var dec = { op: 'decode' };
+      if ($('decodec') && $('decodec').value) dec.codec = $('decodec').value;
+      if (numVal('decWidth') > 0) dec.width = numVal('decWidth');
+      if (numVal('decHeight') > 0) dec.height = numVal('decHeight');
+      var range = { op: 'range' };
+      if (numVal('rangeStart') > 0) range.start = numVal('rangeStart');
+      if (numVal('rangeStop') > 0) range.stop = numVal('rangeStop');
       var last = { op: 'output' };
-      var enc = $('encodec'), dec = $('decodec'), name = $('outName');
-      if (enc && enc.value) last.encodec = enc.value;
-      if (dec && dec.value) last.decodec = dec.value;
-      if (name && name.value) last.file = 'download/' + name.value;
+      if ($('encodec') && $('encodec').value) last.codec = $('encodec').value;
+      if (numVal('outFps') > 0) last.frameRate = numVal('outFps');
+      if ($('outName') && $('outName').value)
+        last.file = 'download/' + $('outName').value;
+      if (diag.bench || diag.clear) last.diagnose = diag;
+      out.unshift(range);
+      out.unshift(dec);
       out.push(last);
-      out.unshift({ op: 'file' });
+    } else if (diag.bench || diag.clear) {
+      out.push({ op: 'output', diagnose: diag });
     }
     return JSON.stringify(out);
+  }
+
+  // ======================= summary (output W/H/fps) =======================
+  // mirrors the reference src/js/summary.js:60-71 semantics: fold the
+  // step list over the source geometry
+  var src = { w: 0, h: 0, fps: 0 };
+
+  function renderSummary() {
+    var el = $('summary');
+    if (!el) return;
+    var w = src.w, h = src.h, fps = src.fps;
+    steps.forEach(function (st) {
+      var sc;
+      if (st.op === 'SR') {
+        sc = Number(st.scale) || 1; w *= sc; h *= sc;
+      } else if (st.op === 'VSR') {
+        w *= 4; h *= 4;
+      } else if (st.op === 'resize') {
+        w *= Number(st.scaleW) || 1; h *= Number(st.scaleH) || 1;
+      } else if (st.op === 'slomo') {
+        fps *= Number(st.sf) || 1;
+      }
+    });
+    if (numVal('decWidth') > 0) w = numVal('decWidth') * (src.w ? w / src.w : 1);
+    var t = [];
+    if (w && h) t.push('输出尺寸 ' + Math.round(w) + '×' + Math.round(h));
+    else t.push('输出尺寸 —（提交后显示）');
+    if (fps) t.push(Math.round(fps * 100) / 100 + ' fps');
+    el.textContent = t.join(' · ');
+  }
+
+  // ======================= diagnose (bench score table) ===================
+  // score semantics from the reference src/js/diagnose.js:12-18,77-92:
+  // mark = nominal-weight / learned seconds-per-load, summed for a total
+  var BENCH_W = { resize: 3e-7, SR: 3e-5, DN: 2e-5, slomo: 15e-6, dehaze: 3e-4 };
+  var BENCH_KEYS = {
+    SR: ['model', 'scale'], DN: ['model'], resize: ['mode'],
+    dehaze: ['model'], slomo: [], sun: [], mddm: []
+  };
+  var benchMarks = {};
+
+  function benchRow(tbody, key) {
+    var tr = document.getElementById('bench-' + key);
+    if (!tr) {
+      tr = document.createElement('tr');
+      tr.id = 'bench-' + key;
+      tr.innerHTML = '<td></td><td></td><td></td>';
+      tbody.appendChild(tr);
+    }
+    return tr;
+  }
+
+  function showBench(op, weight, samples) {
+    var tbody = $('benchBody');
+    if (!tbody || !op || !op.op || !(op.op in BENCH_KEYS)) return;
+    var mark = (BENCH_W[op.op] || 1e-3) / Math.max(weight, 1e-12);
+    benchMarks[op.op] = mark;
+    var total = 0;
+    for (var k in benchMarks) total += benchMarks[k];
+    var keys = BENCH_KEYS[op.op] || [];
+    var label = op.op + (keys.length
+      ? ': ' + keys.map(function (k) { return op[k]; }).join(', ') : '');
+    var tr = benchRow(tbody, label.replace(/[^\w.-]/g, '_').slice(0, 32));
+    tr.children[0].textContent = label.slice(0, 32);
+    tr.children[1].textContent = samples;
+    tr.children[2].textContent = mark.toFixed(3);
+    var tot = benchRow(tbody, '__total__');
+    tot.children[0].textContent = '总分';
+    tot.children[1].textContent = '';
+    tot.children[2].textContent = total.toFixed(3);
+    $('benchTable').hidden = false;
   }
 
   // ======================= progress (long-poll /msg) ======================
@@ -201,6 +301,13 @@
       prev.src = '/' + note.preview + '?t=' + Date.now();
       prev.hidden = false;
     }
+    if (note.op && note.weight != null) showBench(note.op, note.weight, note.samples);
+    var dirty = false;
+    if (note.shape && note.shape.length > 1) {
+      src.h = note.shape[0]; src.w = note.shape[1]; dirty = true;
+    }
+    if (note.fps) { src.fps = note.fps; dirty = true; }
+    if (dirty) renderSummary();
   }
 
   function poll(session) {
@@ -320,7 +427,9 @@
       if (!name) return alert('请输入预设名');
       var data = JSON.stringify({
         name: name, version: version, notes: [],
-        steps: JSON.parse(stepsJSON('image'))
+        steps: JSON.parse(stepsJSON('image')).filter(function (s) {
+          return s.op !== 'output';
+        })
       });
       var fd = new FormData();
       fd.append('path', presetPath(mode));
@@ -364,5 +473,21 @@
   if (mode === 'batch' && $('fileInput'))
     $('fileInput').addEventListener('change', function () {
       $('fileCount').textContent = this.files.length + ' 个文件';
+    });
+  ['decWidth', 'decHeight', 'outFps'].forEach(function (id) {
+    if ($(id)) $(id).addEventListener('change', renderSummary);
+  });
+  // image mode: read the chosen file's natural size into the summary
+  if (mode !== 'video' && $('fileInput'))
+    $('fileInput').addEventListener('change', function () {
+      var f = this.files && this.files[0];
+      if (!f || !/^image\//.test(f.type)) return;
+      var im = new Image();
+      im.onload = function () {
+        src.w = im.naturalWidth; src.h = im.naturalHeight;
+        renderSummary();
+        URL.revokeObjectURL(im.src);
+      };
+      im.src = URL.createObjectURL(f);
     });
 })();

@@ -227,3 +227,45 @@ def test_resize_bicubic(ctx):
     f = resizeStep({"width": 16, "height": 12, "method": "bicubic"}, {"source": 0})
     out = f(jnp.ones((24, 32, 3), jnp.float32))
     assert out.shape == (12, 16, 3)
+
+
+def test_bench_mode_emits_op_stats(ctx, tmp_path, monkeypatch):
+    """diagnose.bench=True -> /msg notes carry {op, weight, samples}
+    (consumed by the frontend bench score table; reference behavior
+    src/js/diagnose.js:77-92 + python/progress.py:159)."""
+    from PIL import Image
+
+    from moephoto_tpu.pipeline.steps import genProcess
+    from moephoto_tpu.progress import Node
+    from moephoto_tpu.runtime.context import context
+    from moephoto_tpu.runtime.worker import begin
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(24, 16, 3) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    data = buf.getvalue()
+    ctx.sharedView = memoryview(data)
+
+    notes = []
+
+    class Notifier:
+        def send(self, payload):
+            notes.append(payload)
+
+    monkeypatch.setattr(context, "notifier", Notifier())
+    outFile = str(tmp_path / "out.png")
+    steps = [
+        {"op": "file"},
+        {"op": "resize", "scaleW": 2.0, "scaleH": 2.0},
+        {"op": "output", "file": outFile, "diagnose": {"bench": True}},
+    ]
+    process, nodes = genProcess(steps)
+    root = begin(Node({"op": "image"}), nodes, True, bench=True)
+    root.bindFunc(process)(len(data), name=outFile)
+    stats = [n for n in notes if "weight" in n and "samples" in n and "op" in n]
+    assert stats, f"no bench stats in {notes[:5]}"
+    assert any(
+        isinstance(n["op"], dict) and n["op"].get("op") == "resize" for n in stats
+    )
+    assert all(n["samples"] >= 1 and n["weight"] > 0 for n in stats)
