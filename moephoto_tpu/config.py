@@ -42,6 +42,11 @@ defaultConfig: Dict[str, tuple] = {
     "tileSize": (0, "0 = per-model default tile bucket"),
     "tileBatch": (0, "0 = per-model default tiles per jitted batch"),
     "meshShape": ([], "e.g. [2, 4] for a dp x sp mesh; [] = single device"),
+    "meshBackend": (
+        "",
+        "platform whose devices form the mesh ('' = the default backend; "
+        "'cpu' = the virtual host-device mesh used by sharding tests)",
+    ),
     "ffmpegPath": ("ffmpeg", "external ffmpeg binary for video decode/encode"),
     "modelDir": ("./model", "root directory of converted / torch checkpoints"),
     "referenceRoot": (

@@ -26,6 +26,7 @@ from moephoto_tpu.models.api import (
     sigmoid,
 )
 from moephoto_tpu.models.streamcommon import StreamOpt, alignPad, makeStreamFunc
+from moephoto_tpu.parallel.temporal import stageJit
 from moephoto_tpu.progress import Node
 
 NumFeat = 16
@@ -157,9 +158,11 @@ def getOpt(option: dict) -> ESTRNNOpt:
 
 # module-level stage jits: executables persist across graph instances,
 # so per-task pipeline rebuilds don't re-trace/re-compile known shapes
-cellJit = jax.jit(cellApply)
-gsaJit = jax.jit(gsaApply)
-reconsJit = jax.jit(reconsApply)
+# stageJit == plain jax.jit single-device; with config.meshShape set the
+# stages run row-sharded over the mesh (parallel/temporal.py)
+cellJit = stageJit(cellApply, (None, 1, 1))  # x/hidden (b, h, w, c)
+gsaJit = stageJit(gsaApply, (None, 2, None))  # hs (b, 5, h, w, c)
+reconsJit = stageJit(reconsApply, (None, 1))
 
 
 def doESTRNN(func, node, opt: ESTRNNOpt):

@@ -32,6 +32,7 @@ from moephoto_tpu.models.api import (
 )
 from moephoto_tpu.models.blocks import residualBlockNoBN
 from moephoto_tpu.models.streamcommon import StreamOpt, alignPad, makeStreamFunc
+from moephoto_tpu.parallel.temporal import stageJit
 from moephoto_tpu.ops.deform import modulatedDeformConvPack
 from moephoto_tpu.ops.warp import backWarp
 from moephoto_tpu.progress import Node
@@ -67,8 +68,15 @@ def spynetApply(params: Params, pair: jnp.ndarray) -> jnp.ndarray:
         )
         # 3-ch pyramid warps: bf16/TPU rides the Pallas bounded kernel
         # (XLA gathers are the SpyNet hot spot — docs/PERF.md); fp32/CPU
-        # keeps the exact XLA path for parity runs
-        if pair.dtype == jnp.bfloat16 and jax.default_backend() != "cpu":
+        # and row-sharded SPMD stages keep the exact XLA path (GSPMD
+        # cannot partition the Pallas custom call)
+        from moephoto_tpu.parallel.temporal import spmdTracing
+
+        if (
+            pair.dtype == jnp.bfloat16
+            and jax.default_backend() != "cpu"
+            and not spmdTracing()
+        ):
             from moephoto_tpu.ops.warp import backWarpBounded
 
             warped = backWarpBounded(supp[level], up, padding_mode="border")
@@ -279,6 +287,43 @@ def getOpt(*_) -> VSROpt:
     return opt
 
 
+def synthParams(seed: int = 0, numBlocks: int = 30, dtype=jnp.float32) -> Params:
+    """Random-init parameters for the per-frame stages (SpyNet, both
+    recurrence trunks, fusions, upsample) — shapes match the reference
+    checkpoint layout (videoSR.py:309-322,473) so the stage jits run
+    without a checkpoint or the torch reference.  Used by the multi-chip
+    dryrun and the sharded-temporal exactness tests; EDVR keys are NOT
+    generated (its PCD/TSA tree is checkpoint-driven — golden tests
+    cover it via the reference)."""
+    rng = np.random.RandomState(seed)
+    p = {}
+
+    def conv(name, cin, cout, k=3):
+        p[name + ".weight"] = (
+            rng.randn(k, k, cin, cout).astype(np.float32)
+            / np.sqrt(k * k * cin)
+            * 0.5
+        )
+        p[name + ".bias"] = rng.randn(cout).astype(np.float32) * 0.01
+
+    for level in range(6):
+        cs = (8, 32, 64, 32, 16, 2)
+        for idx, j in enumerate(range(0, 9, 2)):
+            conv(f"spynet.basic_module.{level}.{j}", cs[idx], cs[idx + 1], k=7)
+    for trunk, cin in (("backward_trunk", 3 + NumFeat), ("forward_trunk", 3 + 2 * NumFeat)):
+        conv(trunk + ".0", cin, NumFeat)
+        for i in range(numBlocks):
+            conv(f"{trunk}.2.{i}.conv1", NumFeat, NumFeat)
+            conv(f"{trunk}.2.{i}.conv2", NumFeat, NumFeat)
+    conv("backward_fusion", 2 * NumFeat, NumFeat)
+    conv("forward_fusion", 2 * NumFeat, NumFeat)
+    conv("upsample.0", NumFeat, NumFeat * 4)
+    conv("upsample.3", NumFeat, 64 * 4)
+    conv("upsample.6", 64, 64)
+    conv("upsample.8", 64, 3)
+    return {k: jnp.asarray(v, dtype=dtype) for k, v in p.items()}
+
+
 # --- scanned recurrences -----------------------------------------------------
 # The reference dispatches one warp + one 30-block trunk PER FRAME
 # (videoSR.py:415-441); through the axon tunnel each dispatch costs
@@ -356,14 +401,24 @@ def _forwardScan(
 
 # stage jits at module level: compiled executables are shared across
 # graph instances, so rebuilding the pipeline per video task (worker
-# behavior) costs no re-trace/re-compile for repeated shapes
-edvrJit = jax.jit(edvrApply)
-spyJit = jax.jit(spynetApply)
-bScanJit = jax.jit(_backwardScan)
-fScanJit = jax.jit(_forwardScan)
-upJit = jax.jit(
+# behavior) costs no re-trace/re-compile for repeated shapes.
+# stageJit == plain jax.jit single-device; with config.meshShape set the
+# stages run row-sharded over the mesh (parallel/temporal.py) — GSPMD
+# inserts the conv halos, so the math (and output) is unchanged.
+edvrJit = stageJit(edvrApply, (None, 2))  # x (B, N, H, W, 3)
+spyJit = stageJit(spynetApply, (None, 2))  # pair (B, 2, H, W, 3)
+bScanJit = stageJit(
+    _backwardScan,  # (params, inp(T,H..), flow(T,H..), kfStack(K,H..), idx/masks)
+    (None, 1, 1, 1, None, None, None, None),
+)
+fScanJit = stageJit(
+    _forwardScan,  # (params, featProp(1,H..), inp, bwd, flow, kfStack, idx/masks)
+    (None, 1, 1, 1, 1, 1, None, None, None, None),
+)
+upJit = stageJit(
     lambda p, inp, feat: upsampleApply(p, feat)
-    + resizeBilinear(inp, inp.shape[1] * 4, inp.shape[2] * 4).astype(jnp.float32)
+    + resizeBilinear(inp, inp.shape[1] * 4, inp.shape[2] * 4).astype(jnp.float32),
+    (None, 1, 1),  # inp/feat (B, H, W, C)
 )
 
 # dispatch granularity only — the forward scan THREADS its carry across

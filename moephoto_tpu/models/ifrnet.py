@@ -28,6 +28,7 @@ from moephoto_tpu.models.api import (
 )
 from moephoto_tpu.models.streamcommon import StreamOpt, alignPad, makeStreamFunc
 from moephoto_tpu.ops.warp import gridSample
+from moephoto_tpu.parallel.temporal import stageJit
 from moephoto_tpu.progress import Node
 
 Channels = dict(
@@ -58,7 +59,11 @@ def warpExact(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     if img.dtype == jnp.bfloat16 and img.shape[-1] <= 8:
         import jax as _jax
 
-        if _jax.default_backend() != "cpu":
+        from moephoto_tpu.parallel.temporal import spmdTracing
+
+        # row-sharded SPMD stages keep the XLA path (GSPMD cannot
+        # partition the Pallas custom call)
+        if _jax.default_backend() != "cpu" and not spmdTracing():
             return warpBounded(img, flow, "border")
     return warpXLAExact(img, flow, "border")
 
@@ -376,23 +381,30 @@ def getOpt(option: dict) -> IFRNetOpt:
 # shared across graph instances, so per-task pipeline rebuilds don't
 # re-trace/re-compile known shapes (jax's own cache handles shape/k)
 _stageJits: dict = {}
-postJit = jax.jit(postOutApply)
+# stageJit == plain jax.jit single-device; with config.meshShape set the
+# stages run row-sharded over the mesh (parallel/temporal.py)
+postJit = stageJit(
+    postOutApply, (None, 1, 1, None, None, 1)
+)  # pair/pairN (2,H,W,3), decoded (k,H,W,8)
 
 
 def _encoderJit(chs):
     key = ("enc", chs)
     if key not in _stageJits:
-        _stageJits[key] = jax.jit(lambda p, x: encoderApply(p, list(chs), x))
+        _stageJits[key] = stageJit(
+            lambda p, x: encoderApply(p, list(chs), x), (None, 1)
+        )
     return _stageJits[key]
 
 
 def _decoderJit(chs, side, ensemble):
     key = ("dec", chs, side, ensemble)
     if key not in _stageJits:
-        _stageJits[key] = jax.jit(
+        _stageJits[key] = stageJit(
             lambda p, f, t: decoderApply(
                 p, list(chs), side, f, t, ensemble=ensemble
-            )
+            ),
+            (None, 1, None),  # f: pyramid list, every level (2, h_l, w_l, c)
         )
     return _stageJits[key]
 

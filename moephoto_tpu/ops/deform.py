@@ -200,6 +200,8 @@ def deformConv2d(
     # HBM-bound XLA shift-window accumulator (879 -> 209 ms per
     # dcn_pack.l1 call @360p B=7); fp32/CPU parity runs keep the XLA
     # dense path (same gate shape as models/ifrnet.warpExact)
+    from moephoto_tpu.parallel.temporal import spmdTracing
+
     usePallas = (
         kh == 3
         and kw == 3
@@ -208,6 +210,7 @@ def deformConv2d(
         and x.shape[-1] <= 128
         and x.dtype == jnp.bfloat16
         and jax.default_backend() != "cpu"
+        and not spmdTracing()  # GSPMD can't partition the custom call
     )
     if usePallas:
         from moephoto_tpu.ops.dcnkernel import dcnDensePallas

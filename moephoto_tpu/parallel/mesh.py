@@ -42,11 +42,13 @@ def activeMesh() -> Optional[Mesh]:
     from moephoto_tpu.config import config
 
     shape = tuple(getattr(config, "meshShape", ()) or ())
+    backend = getattr(config, "meshBackend", "") or None
     if not shape or int(np.prod(shape)) <= 1:
         return None
-    if _activeMesh[1] == shape and _activeMesh[0] is not None:
+    key = (shape, backend)
+    if _activeMesh[1] == key and _activeMesh[0] is not None:
         return _activeMesh[0]
-    devices = jax.devices()
+    devices = jax.devices(backend) if backend else jax.devices()
     n = int(np.prod(shape))
     if n > len(devices):
         import logging
@@ -57,5 +59,5 @@ def activeMesh() -> Optional[Mesh]:
         )
         return None
     mesh = makeMesh(list(shape), devices=devices[:n])
-    _activeMesh[0], _activeMesh[1] = mesh, shape
+    _activeMesh[0], _activeMesh[1] = mesh, key
     return mesh

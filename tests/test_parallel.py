@@ -97,18 +97,20 @@ def test_mesh_tiled_inference_bit_equal():
         ex = ModelExec(moeNetLite2x2, params, spec, dtype=jnp.float32, name="t")
         return np.asarray(ex(img))
 
-    old = config.meshShape
+    old, oldB = config.meshShape, getattr(config, "meshBackend", "")
     try:
-        config.meshShape = []
+        # meshBackend='cpu' makes the mesh REAL in this environment
+        # (jax.devices() is the 1-chip TPU; without it activeMesh()
+        # returns None and this test compares single vs single)
+        _withCpuMesh([])
         single = run()
-        config.meshShape = [8]
-        meshMod._activeMesh[:] = [None, None]
+        _withCpuMesh([8])
+        assert meshMod.activeMesh() is not None
         multi = run()
-        config.meshShape = [2, 4]
-        meshMod._activeMesh[:] = [None, None]
+        _withCpuMesh([2, 4])
         multi24 = run()
     finally:
-        config.meshShape = old
+        config.meshShape, config.meshBackend = old, oldB
         meshMod._activeMesh[:] = [None, None]
 
     assert single.shape == multi.shape == (300, 280, 1)
@@ -154,15 +156,103 @@ def test_mesh_step_json_pipeline(tmp_path):
         process(len(data), name=outFile)
         return np.array(Image.open(outFile))
 
-    old = config.meshShape
+    old, oldB = config.meshShape, getattr(config, "meshBackend", "")
     try:
-        config.meshShape = []
+        _withCpuMesh([])
         single = run(str(tmp_path / "s.png"))
-        config.meshShape = [8]
-        meshMod._activeMesh[:] = [None, None]
+        _withCpuMesh([8])
+        assert meshMod.activeMesh() is not None
         multi = run(str(tmp_path / "m.png"))
     finally:
-        config.meshShape = old
+        config.meshShape, config.meshBackend = old, oldB
         meshMod._activeMesh[:] = [None, None]
     assert single.shape == multi.shape == (80, 64, 3)
     np.testing.assert_array_equal(single, multi)
+
+
+def _withCpuMesh(shape):
+    """Activate a CPU-device mesh via config (and verify it is real —
+    jax.devices() is the 1-chip TPU in this environment, so without
+    meshBackend='cpu' activeMesh() would silently return None and turn
+    sharding tests into vacuous single-device comparisons)."""
+    from moephoto_tpu.config import config
+    from moephoto_tpu.parallel import mesh as meshMod
+    from moephoto_tpu.parallel import temporal as tempMod
+
+    config.meshShape = shape
+    config.meshBackend = "cpu" if shape else ""
+    meshMod._activeMesh[:] = [None, None]
+    tempMod._videoMesh[:] = [None, None]
+    if shape:
+        m = meshMod.activeMesh()
+        assert m is not None and m.devices.size == int(np.prod(shape)), m
+    return meshMod
+
+
+def test_mesh_temporal_iconvsr_row_sharded_exact():
+    """IconVSR per-frame stages (SpyNet, both scan recurrences, upsample)
+    row-sharded over an 8-device mesh == single-device, frame-exact.
+
+    The sharded path is the SAME traced program under GSPMD (conv halos
+    inserted by XLA), so outputs must match to f32 roundoff.  EDVR is
+    exercised by the golden tests (checkpoint-driven keys); its convs and
+    the DCN XLA-dense path partition the same way."""
+    import jax.numpy as jnp
+
+    from moephoto_tpu.config import config
+    from moephoto_tpu.models import iconvsr as V
+
+    _devices(8)
+    params = V.synthParams(seed=0)  # full 30-block trunks (scan default)
+    rng = np.random.RandomState(1)
+    T, H, W = 3, 64, 64
+    inp = jnp.asarray(rng.rand(T, H, W, 3).astype(np.float32))
+    flow = jnp.asarray((rng.rand(T, H, W, 2) * 2 - 1).astype(np.float32))
+    kfStack = jnp.asarray(rng.rand(1, H, W, V.NumFeat).astype(np.float32) * 0.1)
+    kfIdx = jnp.zeros((T,), np.int32)
+    kfMask = jnp.asarray([True, False, False])
+    warpMask = jnp.asarray([False, True, True])
+    validMask = jnp.ones((T,), bool)
+    pair = jnp.asarray(rng.rand(2, 2, H, W, 3).astype(np.float32))
+    featProp = jnp.asarray(rng.rand(1, H, W, V.NumFeat).astype(np.float32) * 0.1)
+    bwd = jnp.asarray(rng.rand(T, H, W, V.NumFeat).astype(np.float32) * 0.1)
+    upFeat = jnp.asarray(rng.rand(2, H, W, V.NumFeat).astype(np.float32) * 0.1)
+
+    oldShape, oldBackend = config.meshShape, getattr(config, "meshBackend", "")
+
+    def runAll():
+        b = np.asarray(
+            V.bScanJit(params, inp, flow, kfStack, kfIdx, kfMask, warpMask, validMask)
+        )
+        f, fp = V.fScanJit(
+            params, featProp, inp, jnp.asarray(b), flow, kfStack, kfIdx,
+            warpMask, kfMask, validMask,
+        )
+        s = np.asarray(V.spyJit(params, pair))
+        u = np.asarray(V.upJit(params, inp[:2], upFeat))
+        return b, np.asarray(f), np.asarray(fp), s, u
+
+    try:
+        _withCpuMesh([])
+        single = runAll()
+        _withCpuMesh([8])
+        from moephoto_tpu.parallel.temporal import videoMesh
+
+        assert videoMesh() is not None
+        multi = runAll()
+        _withCpuMesh([2, 4])  # non-1D meshShape flattens to sp=8
+        multi24 = runAll()
+    finally:
+        config.meshShape, config.meshBackend = oldShape, oldBackend
+        _withCpuMesh(oldShape) if oldShape else None
+        from moephoto_tpu.parallel import mesh as meshMod
+        from moephoto_tpu.parallel import temporal as tempMod
+
+        meshMod._activeMesh[:] = [None, None]
+        tempMod._videoMesh[:] = [None, None]
+
+    names = ("backward", "forward", "forwardCarry", "spynet", "upsample")
+    for nm, a, b in zip(names, single, multi):
+        np.testing.assert_allclose(b, a, atol=2e-5, rtol=1e-5, err_msg=nm)
+    for nm, a, b in zip(names, single, multi24):
+        np.testing.assert_allclose(b, a, atol=2e-5, rtol=1e-5, err_msg=nm)
