@@ -34,6 +34,17 @@ def _refRoot() -> str:
                            "(MOEPHOTO_REFERENCE_ROOT / config.referenceRoot)")
     return ref
 
+
+def _torchLoad(path):
+    """State-dict load, safe mode first: some reference checkpoints use
+    pickle protocol 4 which the weights_only unpickler rejects."""
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        return torch.load(path, map_location="cpu", weights_only=False)
+
 H, W = 1080, 1920
 WARMUP = 2
 ITERS = 10
@@ -89,7 +100,7 @@ def benchTorchCPU():
         net = Net(upscale=4)
         path = modelPath("model/lite/model_4.pth")
         if os.path.exists(path):
-            net.load_state_dict(torch.load(path, map_location="cpu", weights_only=True))
+            net.load_state_dict(_torchLoad(path))
         net.eval()
         tile = 256
         x = torch.rand(3, 1, tile, tile)
@@ -162,11 +173,24 @@ def benchDetail():
         ("video_IconVSR_4x_360p", _benchIconVSR),
     ):
         try:
-            detail[name] = {"Mpx_per_s": fn()}
+            r = fn()
+            # video benches return median/spread rows; scalar benches a rate
+            detail[name] = r if isinstance(r, dict) else {"Mpx_per_s": r}
         except Exception as e:
             detail[name] = {"error": str(e).splitlines()[0][:120]}
     detail["psnr_bf16_vs_torch_fp32_dB"] = psnrVsReference()
     detail["psnr_chains_dB"] = psnrChains()
+    # on-chip Pallas kernel sanity: every kernel vs its interpret-mode
+    # (XLA-exact) execution; a Mosaic miscompile fails the sweep loudly
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import chipparity
+
+        parity = chipparity.runAll()
+        chipparity.assertAll(parity)
+        detail["kernel_parity_maxabs"] = {k: round(v, 5) for k, v in parity.items()}
+    except Exception as e:
+        detail["kernel_parity_maxabs"] = {"error": str(e).splitlines()[0][:160]}
     with open("BENCH_DETAIL.json", "w") as fp:
         json.dump(detail, fp, indent=2)
 
@@ -205,7 +229,7 @@ def psnrChains():
         torch.manual_seed(0)
         net = builder(mod)
         if ckpt and os.path.exists(ckpt):
-            net.load_state_dict(torch.load(ckpt, map_location="cpu", weights_only=True))
+            net.load_state_dict(_torchLoad(ckpt))
         net.eval()
         return net
 
@@ -261,27 +285,61 @@ def psnrChains():
     except Exception as e:
         out["chain3_MPRNet_NAFNet"] = f"error: {str(e).splitlines()[0][:90]}"
 
-    # config 4: sun demoire -> AOD dehaze (real checkpoints; AOD applies
-    # the reference's Normalize(.5,.5) prepare).  The raw torch sun net
-    # needs /16 spatial dims (its runner normally pads via
-    # imageProcess), so this chain uses its own 128x112 input.
+    # config 4: sun demoire -> AOD dehaze -> AiLUT retouch (BASELINE
+    # config 4; real checkpoints for sun/AOD, AiLUT absent from the
+    # mirror -> seeded random weights on both sides, the chain-3
+    # convention).  The raw torch sun net needs /16 spatial dims (its
+    # runner normally pads via imageProcess): 256x224 is a tiled-scale
+    # input (sun's tile is 128 -> a real 2x2+blend tiling on our side).
+    # The torch ailut_transform extension is not built on this host; the
+    # torch target applies OUR fp32 XLA transform (bit-matched to the
+    # CUDA kernel algorithm by tests/test_ops.py::
+    # test_ailut_matches_cuda_algorithm) to the TORCH-generated
+    # luts/vertices — reference semantics AiLUT.py:125-173.
     try:
-        img4 = rng.rand(128, 112, 3).astype(np.float32)
+        import torch.nn.functional as TF
+
+        from moephoto_tpu.ops.lut import ailutTransform
+
+        img4 = rng.rand(256, 224, 3).astype(np.float32)
         sunT = torchNet("sun_demoire", lambda m: m.Net(),
                         modelPath("model/demoire/sun_epoch_200.pth"))
         aodT = torchNet("models", lambda m: m.AODnet(),
                         modelPath("model/dehaze/AOD_net_epoch_relu_10.pth"))
+        lutT = torchNet("AiLUT", lambda m: m.AiLUT(backbone="tpami"))
         x = torch.from_numpy(img4.transpose(2, 0, 1)).unsqueeze(0)
         with torch.no_grad():
             mid = first(sunT(x))
-            ref = first(aodT((mid - 0.5) / 0.5))
-        ref = ref.squeeze(0).numpy().transpose(1, 2, 0)
+            refAod = first(aodT((mid - 0.5) / 0.5))
+            codes = TF.interpolate(refAod, size=lutT.input_size,
+                                   mode="bilinear", align_corners=False)
+            codes = lutT.backbone(codes).view(1, -1)
+            luts = lutT.lut_generator(codes)
+            vertices = lutT.adaint(codes)
+        refNHWC = refAod.numpy().transpose(0, 2, 3, 1)
+        ref = np.asarray(
+            ailutTransform(jnp.asarray(refNHWC), jnp.asarray(luts.numpy()),
+                           jnp.asarray(vertices.numpy()))
+        )[0]
         sun = registry.getDehaze({"model": "sun"})
         aod = registry.getDehaze({"model": "dehaze"})
-        ours = np.asarray(aod(sun(jnp.asarray(img4))))
-        out["chain4_sun_AOD"] = _psnr(ours, ref)
+
+        from moephoto_tpu.engine.executor import ModelExec
+        from moephoto_tpu.engine.tiling import TileSpec
+        from moephoto_tpu.models.ailut import ailutTPAMI
+
+        from moephoto_tpu.models.api import convertStateDict
+
+        lutP = convertStateDict(
+            {k: v.numpy() for k, v in lutT.state_dict().items()}, None
+        )
+        lutP = {k: jnp.asarray(v, jnp.float32) for k, v in lutP.items()}
+        lutEx = ModelExec(ailutTPAMI, lutP, TileSpec(256, 8, 8, 1.0, 1),
+                          dtype=jnp.float32, name="lut4")
+        ours = np.asarray(lutEx.applyWhole(aod(sun(jnp.asarray(img4)))))
+        out["chain4_sun_AOD_AiLUT"] = _psnr(ours, ref)
     except Exception as e:
-        out["chain4_sun_AOD"] = f"error: {str(e).splitlines()[0][:90]}"
+        out["chain4_sun_AOD_AiLUT"] = f"error: {str(e).splitlines()[0][:90]}"
 
     return out
 
@@ -525,9 +583,7 @@ def psnrVsReference():
         from moephoto_tpu.pipeline import registry
 
         net = Net(upscale=2)
-        net.load_state_dict(
-            torch.load(modelPath("model/lite/model.pth"), map_location="cpu", weights_only=True)
-        )
+        net.load_state_dict(_torchLoad(modelPath("model/lite/model.pth")))
         net.eval()
         rng = np.random.RandomState(7)
         img = rng.rand(96, 80, 3).astype(np.float32)

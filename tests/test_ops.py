@@ -318,3 +318,22 @@ def test_dcn_pallas_kernel_matches_gather():
     ref = _deformConvGather(x, off, m, wgt, bias, dg, 1, 1)
     got = dcnDensePallas(x, off, m, wgt, bias, dg, margin=3, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("MOEPHOTO_CHIP_TESTS"),
+    reason="on-chip kernel parity gate (set MOEPHOTO_CHIP_TESTS=1; needs the real TPU)",
+)
+def test_onchip_kernel_parity():
+    """Every production Pallas kernel vs its interpret-mode (XLA-exact)
+    execution ON THE REAL CHIP — catches Mosaic miscompiles that CPU
+    interpret tests cannot see (VERDICT round-2 item 6).  bench.py runs
+    the same gate every sweep (kernel_parity_maxabs)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import chipparity
+
+    results = chipparity.runAll()
+    chipparity.assertAll(results)

@@ -202,6 +202,20 @@ def installStubs():
         sys.modules["torchvision.models"] = tmodels
         sys.modules["torchvision.models.resnet"] = tresnet
 
+    if "ailut" not in sys.modules:
+        # the reference's AiLUT.py imports the compiled ailut extension,
+        # which is not built in this image; golden generation bypasses
+        # the transform (bench.py applies the repo's own XLA transform,
+        # bit-matched to the CUDA algorithm, to the torch-made
+        # luts/vertices), so the symbol only needs to exist
+        al = types.ModuleType("ailut")
+
+        def _missing(*a, **k):
+            raise RuntimeError("ailut extension not built on this host")
+
+        al.ailut_transform = _missing
+        sys.modules["ailut"] = al
+
 
 def importReference():
     installStubs()
