@@ -91,40 +91,42 @@ def _dcnKernel(K, dg, margin, padding, dilation, W, Cout, outDtype,
         oxbT = oxRef[0, k].astype(jnp.float32) + bx.astype(jnp.float32)
         mkT = mRef[0, k].astype(jnp.float32)
         # bilinear hats are SEPARABLE: expand the per-group row hats
-        # (win of them) and column hats (nS) to per-channel (TRW, C)
-        # ONCE per k — 16 MXU dots instead of one per (dy, s) term (the
-        # per-term dot's contraction dim dg=8 used 6% of the MXU and
-        # dominated the kernel at 333 ms; see docs/PERF.md round 2)
-        wymE = []
-        for d in range(win):
-            wyT = jnp.maximum(
-                0.0, 1.0 - jnp.abs(oyT - float(d - margin))
-            ) * mkT
-            wymE.append(
-                lax.dot_general(
-                    wyT, expand, expandDims,
-                    preferred_element_type=jnp.float32,
-                )
-            )  # (TRW, C)
-        wxE = []
-        for sIdx in range(nS):
-            wxT = jnp.maximum(0.0, 1.0 - jnp.abs(oxbT - float(sMin + sIdx)))
-            wxE.append(
-                lax.dot_general(
-                    wxT, expand, expandDims,
-                    preferred_element_type=jnp.float32,
-                )
-            )
+        # (win of them) and column hats (nS) to per-channel (TRW, C) in
+        # ONE batched MXU dot per k — the hats concatenate along the
+        # lane axis, the dot contracts dg once for all win+nS shifts,
+        # and static sublane slices split the result.  (Round-2 ran 16
+        # separate (TRW, dg)x(dg, C) dots per k; at dg=8 each is
+        # pipeline-overhead-bound, and 144 of them per program dominated
+        # the 209 ms kernel.)
+        hats = [
+            jnp.maximum(0.0, 1.0 - jnp.abs(oyT - float(d - margin))) * mkT
+            for d in range(win)
+        ] + [
+            jnp.maximum(0.0, 1.0 - jnp.abs(oxbT - float(sMin + sIdx)))
+            for sIdx in range(nS)
+        ]
+        wAll = jnp.concatenate(hats, axis=1)  # (dg, (win+nS)*TRW)
+        wE = lax.dot_general(
+            wAll, expand, expandDims, preferred_element_type=jnp.float32
+        )  # ((win+nS)*TRW, C)
+        wymE = [wE[d * TRW : (d + 1) * TRW] for d in range(win)]
+        wxE = [wE[(win + i) * TRW : (win + i + 1) * TRW] for i in range(nS)]
         acc = jnp.zeros((TRW, C), jnp.float32)
+        # factored accumulation: per row-shift d, sum the column terms
+        # first, then apply the row hat once — win+win*nS multiplies
+        # instead of 2*win*nS (same math; f32 add order changes only
+        # within one k tap)
         for d in range(win):
             dy = d - margin
             rows = slabRef[0, pl.ds(P + by + dy, _TR)]  # (_TR, Wp, C)
+            rowAcc = jnp.zeros((TRW, C), jnp.float32)
             for sIdx in range(nS):
                 s = sMin + sIdx
                 sv = rows[:, P + s : P + s + W, :]
-                acc = acc + wymE[d] * (
-                    wxE[sIdx] * sv.astype(jnp.float32).reshape(TRW, C)
+                rowAcc = rowAcc + wxE[sIdx] * sv.astype(jnp.float32).reshape(
+                    TRW, C
                 )
+            acc = acc + wymE[d] * rowAcc
         return accOut + jnp.dot(
             acc.astype(wRef.dtype), wRef[k], preferred_element_type=jnp.float32
         )
