@@ -466,13 +466,24 @@ def doVSR(func, node, opt: VSROpt):
     sinkList: List = []
 
     def kfStage(windows, isKey, last=None):
-        out = []
-        for wFrames, b in zip(windows, isKey):
-            if b and len(wFrames) == RefTime:
-                clip = jnp.stack(wFrames)[None].astype(opt.dtype)  # (1, 7, H, W, 3)
-                out.append(edvrJit(opt.params, clip)[0])
-            else:
-                out.append(None)
+        # batch every keyframe in the popped span into ONE EDVR call:
+        # the reference runs EDVR per keyframe (videoSR.py:381-401); the
+        # per-sample math is independent, so stacking is bit-equal and
+        # saves a ~31 ms tunnel dispatch per extra keyframe (the 45-frame
+        # golden in tests/test_golden_streams.py pins equality)
+        out = [None] * len(windows)
+        idxs = [
+            i
+            for i, (wFrames, b) in enumerate(zip(windows, isKey))
+            if b and len(wFrames) == RefTime
+        ]
+        if idxs:
+            clips = jnp.stack(
+                [jnp.stack(windows[i]) for i in idxs]
+            ).astype(opt.dtype)  # (Bk, 7, H, W, 3)
+            feats = edvrJit(opt.params, clips)
+            for j, i in enumerate(idxs):
+                out[i] = feats[j]
         return out
 
     tailState = {"flowNone": False, "backPad": False}
@@ -620,7 +631,10 @@ def doVSR(func, node, opt: VSROpt):
         nodes[0].bindFunc(kfStage),
         [keyframeFeatureInp, isKeyFrame],
         [keyframeFeatureS],
-        size=RefTime,
+        # pop 10 windows per advance: at the reference's keyframe cadence
+        # of 5 that batches 2 EDVR clips per dispatch (B=2 keeps PCD's
+        # ~2.2 GB/clip of L1 activations inside HBM headroom)
+        size=10,
     )
     graph.tee(keyframeFeatureS, [keyframeFeature1, keyframeFeature2])
     graph.stage(
