@@ -166,6 +166,7 @@ def benchDetail():
     except Exception as e:
         detail["chain_DNlite5_SRlite4_1080p"] = {"error": str(e).splitlines()[0][:120]}
     for name, fn in (
+        ("retouch_AiLUT_1080p", _benchAiLUT),
         ("DN_NAFNet32_1080p", _benchNAFNet),
         ("DN_SEDN_1080p", _benchSEDN),
         ("video_ESTRNN_720p", _benchESTRNN),
@@ -424,6 +425,48 @@ def _medianRow(rates):
         "spread_pct": round(100 * spread, 1),
         "passes": [round(r, 3) for r in rates],
     }
+
+
+def _benchAiLUT(h=1080, w=1920):
+    """AiLUT retouch at 1080p (checkpoint absent from the mirror: seeded
+    random torch weights; backbone codes + the Pallas hat-matmul
+    transform — ops/lutkernel.py, VERDICT round-2 item 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from moephoto_tpu.engine.executor import ModelExec
+    from moephoto_tpu.engine.tiling import TileSpec
+    from moephoto_tpu.models.ailut import ailutTPAMI
+    from moephoto_tpu.models.api import convertStateDict
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from refshim import importReference
+
+    importReference()
+    import torch
+
+    torch.manual_seed(0)
+    cwd = os.getcwd()
+    os.chdir(_refRoot())
+    try:
+        import AiLUT as RA
+    finally:
+        os.chdir(cwd)
+    net = RA.AiLUT(backbone="tpami")
+    params = convertStateDict(
+        {k: v.numpy() for k, v in net.state_dict().items()}, None
+    )
+    params = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+    ex = ModelExec(ailutTPAMI, params, TileSpec(256, 8, 8, 1.0, 1),
+                   dtype=jnp.float32, name="ailutBench")
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(h, w, 3).astype(np.float32))
+    red = jax.jit(lambda v: jnp.mean(v))
+    float(red(ex.applyWhole(x)))
+    t0 = time.perf_counter()
+    vals = [red(ex.applyWhole(x)) for _ in range(5)]
+    _ = sum(float(v) for v in vals)
+    return round(h * w / 1e6 / ((time.perf_counter() - t0) / 5), 3)
 
 
 def _benchNAFNet(h=1080, w=1920):

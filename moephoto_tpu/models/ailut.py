@@ -101,6 +101,18 @@ def makeAiLUT(nRanks: int = 3, nVertices: int = 33, backbone: str = "tpami"):
         intervals = intervals.reshape(b, -1, nVertices - 1)
         intervals = jax.nn.softmax(intervals, axis=-1)
         vertices = jnp.pad(jnp.cumsum(intervals, axis=-1), ((0, 0), (0, 0), (1, 0)))
+        # TPU production path: the Pallas hat-matmul kernel (no binning
+        # matrix, no XLA gathers — ops/lutkernel.py); fp32/CPU parity
+        # runs and row-sharded SPMD stages keep the exact XLA transform.
+        # Semantics note: the kernel clamps inputs to the vertex range
+        # where the CUDA reference extrapolates — identical for in-range
+        # [0, 1] retouch images.
+        from moephoto_tpu.parallel.temporal import spmdTracing
+
+        if jax.default_backend() != "cpu" and not spmdTracing():
+            from moephoto_tpu.ops.lutkernel import ailutTransformPallas
+
+            return ailutTransformPallas(imgs, luts, vertices)
         return ailutTransform(imgs, luts, vertices)
 
     return apply

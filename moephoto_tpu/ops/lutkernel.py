@@ -1,0 +1,176 @@
+"""Pallas adaptive-LUT transform kernel (TPU).
+
+The XLA formulation (ops/lut.ailutTransform) costs ~48 ms @1080p: the
+vectorized binary search materializes a (D, H*W) compare matrix in HBM
+and the 8 corner lookups run as flat XLA gathers (~1 ns/element).  This
+kernel removes BOTH: per pixel tile it builds the trilinear
+*hat weights* over the adaptive vertex grid directly in VMEM and
+contracts the (green, blue) plane selection with ONE MXU matmul against
+the (D*D, C*D) LUT matrix — the same gather->hat-matmul trade as the
+DCNv2 kernel (ops/dcnkernel.py).
+
+Math: for a piecewise-linear hat on a non-uniform sorted grid v[0..D-1],
+    w_i(x) = clamp((x - v[i-1]) / (v[i] - v[i-1]), 0, 1)
+           + clamp((v[i+1] - x) / (v[i+1] - v[i]), 0, 1) - 1
+(with v[-1] = -inf, v[D] = +inf), which reproduces lower_bound +
+fractional interpolation exactly for x inside [v[0], v[D-1]]; inputs are
+clamped to that range first (the CUDA kernel linearly extrapolates
+outside it — retouch inputs are [0, 1] images so the paths agree there;
+the XLA path stays the parity reference).
+
+Then per pixel p and channel c:
+    out[p, c] = sum_{b,g,r} wB[p,b] wG[p,g] wR[p,r] LUT[c, b, g, r]
+              = sum_r wR[p, r] * (Wgb[p, :] @ LUTmat[:, c*D + r])
+with Wgb[p, b*D+g] = wB[p,b]*wG[p,g] built by lane-broadcast/tile of the
+two (T, D) hat blocks, and the final r-contraction done by a static
+(C*D, C) 0/1 selector matmul.
+
+Reference semantics: ailut_transform_cuda.cu:88-159 (lut layout
+lut[b, c, bid, gid, rid], i.e. red minor).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TPX = 512  # pixels per program (sublane rows; 256 and >=2048 crash the
+#             v5e Mosaic compile helper — docs/PERF.md)
+
+_BIG = 1e30
+
+
+def _hats(x, vPrev, vCur, vNext):
+    """(T, D) hat weights of value column x (T, 1) against per-lane
+    vertex tables (1, D)."""
+    up = jnp.clip((x - vPrev) / (vCur - vPrev), 0.0, 1.0)
+    dn = jnp.clip((vNext - x) / (vNext - vCur), 0.0, 1.0)
+    return up + dn - 1.0
+
+
+def _lutKernel(D, C, imgRef, tabRef, lutRef, selRef, eBRef, eGRef, eRRef, outRef):
+    img = imgRef[...].astype(jnp.float32)  # (T, 3)
+    r = img[:, 0:1]
+    g = img[:, 1:2]
+    b = img[:, 2:3]
+    # clamp to the vertex range (see module docstring)
+    lo = tabRef[9, 0:1][None]
+    hi = tabRef[10, 0:1][None]
+    r = jnp.clip(r, lo, hi)
+    g = jnp.clip(g, lo, hi)
+    b = jnp.clip(b, lo, hi)
+
+    # per-axis hat blocks (T, D) against the (1, D) vertex tables
+    wR = _hats(r, tabRef[0:1, :D], tabRef[1:2, :D], tabRef[2:3, :D])
+    wG = _hats(g, tabRef[3:4, :D], tabRef[4:5, :D], tabRef[5:6, :D])
+    wB = _hats(b, tabRef[6:7, :D], tabRef[7:8, :D], tabRef[8:9, :D])
+
+    # lane expansions via 0/1 MXU dots, NOT lane concatenation: a
+    # D-piece concat at 33-lane offsets lowers to cross-lane shuffles
+    # that dominated the first kernel (35 of its 42 ms); a (T, D) @
+    # (D, D*D) dot lands every element lane-aligned for free.  The 0/1
+    # matrices are HOST-built operands — iota/compare construction
+    # inside the kernel blew Mosaic compile time past 15 minutes
+    dot = lambda a_, b_: lax.dot_general(
+        a_, b_, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    wgb = dot(wB, eBRef[...]) * dot(wG, eGRef[...])  # (T, DD)
+
+    # plane-selection matmul: (T, DD) @ (DD, C*D) -> per pixel the
+    # g/b-interpolated red rows of every channel.  bf16 operands, f32
+    # accumulation (~4e-3 relative rounding — the same class as the XLA
+    # path's own TPU default-precision matmuls)
+    a = jnp.dot(
+        wgb.astype(jnp.bfloat16),
+        lutRef[...].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # (T, C*D)
+
+    # r-contraction: multiply by the expanded wR, then the static 0/1
+    # selector dot sums each channel's D lanes
+    out = jnp.dot(
+        a * dot(wR, eRRef[...]), selRef[...], preferred_element_type=jnp.float32
+    )
+    outRef[...] = out.astype(outRef.dtype)
+
+
+def ailutTransformPallas(
+    img: jnp.ndarray,  # (B, H, W, 3)
+    lut: jnp.ndarray,  # (B, C, D, D, D) red-minor
+    vertices: jnp.ndarray,  # (B, 3, D) sorted
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, H, W, _ = img.shape
+    C = lut.shape[1]
+    D = lut.shape[-1]
+    N = H * W
+    Np = -(-N // _TPX) * _TPX
+    f32 = jnp.float32
+
+    def tables(vt):  # (3, D) -> (11, D) prev/cur/next per axis + clamp row
+        pads = []
+        for a in (0, 1, 2):  # r, g, b
+            v = vt[a].astype(f32)
+            pads.append(jnp.concatenate([jnp.full((1,), -_BIG, f32), v[:-1]]))
+            pads.append(v)
+            pads.append(jnp.concatenate([v[1:], jnp.full((1,), _BIG, f32)]))
+        # rows 9/10: global clamp bounds (min of v0s, max of vD-1s are
+        # per-axis in principle; clamping per axis would need 6 rows —
+        # use per-axis via rows 1/4/7 start/end instead.  Simpler: the
+        # three axes share [min, max] envelope; retouch vertices span
+        # [0, 1] on every axis so the envelope is exact.
+        lo = jnp.max(jnp.stack([vt[0, 0], vt[1, 0], vt[2, 0]])).reshape(1)
+        hi = jnp.min(jnp.stack([vt[0, -1], vt[1, -1], vt[2, -1]])).reshape(1)
+        pads.append(jnp.pad(lo, (0, D - 1)))
+        pads.append(jnp.pad(hi, (0, D - 1)))
+        return jnp.stack(pads)  # (11, D)
+
+    # static (C*D, C) selector: lane c*D+r contributes to channel c
+    sel = (
+        lax.broadcasted_iota(jnp.int32, (C * D, C), 0) // D
+        == lax.broadcasted_iota(jnp.int32, (C * D, C), 1)
+    ).astype(f32)
+    # host-built 0/1 lane-expansion matrices (see kernel docstring)
+    lanes = np.arange(D * D)
+    eB = jnp.asarray((lanes // D == np.arange(D)[:, None]).astype(np.float32))
+    eG = jnp.asarray((lanes % D == np.arange(D)[:, None]).astype(np.float32))
+    lanesC = np.arange(C * D)
+    eR = jnp.asarray((lanesC % D == np.arange(D)[:, None]).astype(np.float32))
+
+    outs = []
+    for bi in range(B):
+        flat = img[bi].reshape(N, 3).astype(f32)
+        flat = jnp.pad(flat, ((0, Np - N), (0, 0)))
+        # LUTmat (D*D, C*D): row bid*D+gid, lane c*D+rid
+        lutMat = (
+            lut[bi].astype(f32).transpose(1, 2, 0, 3).reshape(D * D, C * D)
+        )
+        tab = tables(vertices[bi])
+        out = pl.pallas_call(
+            functools.partial(_lutKernel, D, C),
+            grid=(Np // _TPX,),
+            in_specs=[
+                pl.BlockSpec((_TPX, 3), lambda i: (i, 0)),
+                pl.BlockSpec((11, D), lambda i: (0, 0)),
+                pl.BlockSpec((D * D, C * D), lambda i: (0, 0)),
+                pl.BlockSpec((C * D, C), lambda i: (0, 0)),
+                pl.BlockSpec((D, D * D), lambda i: (0, 0)),
+                pl.BlockSpec((D, D * D), lambda i: (0, 0)),
+                pl.BlockSpec((D, C * D), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((_TPX, C), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((Np, C), f32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+        )(flat, tab, lutMat, sel, eB, eG, eR)
+        outs.append(out[:N].reshape(H, W, C))
+    return jnp.stack(outs).astype(img.dtype)

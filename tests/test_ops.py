@@ -337,3 +337,29 @@ def test_onchip_kernel_parity():
 
     results = chipparity.runAll()
     chipparity.assertAll(results)
+
+
+def test_ailut_pallas_kernel_matches_xla():
+    """Pallas hat-matmul LUT kernel (interpret mode) vs the XLA
+    transform (itself bit-matched to the CUDA algorithm above).  The
+    kernel's main contraction runs bf16 on the MXU by design — tolerance
+    covers that rounding (ops/lutkernel.py docstring)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from moephoto_tpu.ops.lut import ailutTransform
+    from moephoto_tpu.ops.lutkernel import ailutTransformPallas
+
+    rng = np.random.RandomState(3)
+    D, C = 33, 3
+    img = jnp.asarray(rng.rand(2, 40, 64, 3).astype(np.float32))
+    lut = jnp.asarray(rng.rand(2, C, D, D, D).astype(np.float32))
+    iv = rng.rand(2, 3, D - 1).astype(np.float32)
+    iv = iv / iv.sum(-1, keepdims=True)
+    vert = jnp.asarray(np.pad(np.cumsum(iv, -1), ((0, 0), (0, 0), (1, 0))))
+    ref = np.asarray(ailutTransform(img, lut, vert))
+    got = np.asarray(
+        functools.partial(ailutTransformPallas, interpret=True)(img, lut, vert)
+    )
+    assert np.abs(ref - got).max() < 1e-2
