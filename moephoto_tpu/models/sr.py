@@ -144,20 +144,38 @@ def netDNS2d(params: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sednBlock(params: Params, p: str, x: jnp.ndarray) -> jnp.ndarray:
-    """SE residual conv block (reference ``_Conv_Block`` models.py:166-206)."""
+    """SE residual conv block (reference ``_Conv_Block`` models.py:166-206).
+
+    The SE tail is restructured for the TPU (same math): the squeeze
+    convs run as (B, C) dots, and the per-(batch, channel) excitation
+    scale folds into the 1x1 ``trans`` weight —
+    ``(out * s) @ W == out @ (s[:, None] * W)`` — so one batched MXU
+    matmul replaces the full-tensor broadcast multiply + conv that broke
+    conv-to-conv fusion (~35% of the block, docs/PERF.md SEDN roofline).
+    """
     out = conv2d(params, p + ".rblock.0", x, padding=1)
     out = leakyRelu(out)
     out = conv2d(params, p + ".rblock.2", out, padding=1)
     out = leakyRelu(out)
     out = conv2d(params, p + ".rblock.4", out, padding=1)
-    se = globalAvgPool(out)
-    se = conv2d(params, p + ".conv_down", se)
-    se = leakyRelu(se)
-    se = conv2d(params, p + ".conv_up", se)
-    out = out * sigmoid(se)
-    out = conv2d(params, p + ".trans.0", out)
-    out = leakyRelu(out)
-    return x + out
+    se = jnp.mean(out.astype(jnp.float32), axis=(1, 2))  # (B, C) GAP
+    for key, act in ((".conv_down", leakyRelu), (".conv_up", None)):
+        w = params[p + key + ".weight"]  # (1, 1, cin, cout) HWIO
+        se = jnp.dot(se, w[0, 0].astype(jnp.float32),
+                     precision=getPrecision(), preferred_element_type=jnp.float32)
+        b = params.get(p + key + ".bias")
+        if b is not None:
+            se = se + b.astype(jnp.float32)
+        if act is not None:
+            se = act(se)
+    wT = params[p + ".trans.0.weight"]  # (1, 1, C, K)
+    wEff = (sigmoid(se)[:, :, None] * wT[0, 0].astype(jnp.float32)).astype(out.dtype)
+    y = jnp.einsum("bhwc,bck->bhwk", out, wEff,
+                   precision=getPrecision(), preferred_element_type=jnp.float32)
+    bT = params.get(p + ".trans.0.bias")
+    if bT is not None:
+        y = y + bT.astype(jnp.float32)
+    return x + leakyRelu(y.astype(out.dtype))
 
 
 def sedn(params: Params, x: jnp.ndarray) -> jnp.ndarray:

@@ -18,7 +18,14 @@ Layout (chosen for Mosaic v5e constraints, docs/PERF.md):
     minor would lane-pad 16x in HBM);
   - the (dg, TR*tw) group weights broadcast to C lanes by a tiny
     (dg, C) 0/1 MXU matmul contracting dim 0 of both operands
-    (lane-count-changing reshapes and transposes are rejected).
+    (lane-count-changing reshapes and transposes are rejected);
+  - k taps processed in PAIRS on lane-concatenated (.., 2C) operands:
+    at C=64 single-tap window FMAs pad half the 128-lane VPU, pairing
+    fills them (chip A/B: 136 ms vs 207 unpaired @B=7 L1 360p, bf16
+    outputs agree to 1 ulp; docs/PERF.md round 3).  The k loop is
+    Python-unrolled over the 4 pairs + 1 single — compile through the
+    remote helper is ~214 s cold (the vmem flag multiplies per-dot
+    compile cost) but cached thereafter.
 
 Same math as _deformConvDense: bilinear + modulation folded into hat
 weights over the [-margin, margin]^2 shift window; valid only while
@@ -46,94 +53,104 @@ _TW = 128  # output cols per program (W=640 blocks explode Mosaic
 def _dcnKernel(K, dg, margin, padding, dilation, W, Cout, outDtype,
                slabRef, oyRef, oxRef, mRef, wRef, outRef):
     win = 2 * margin + 1
-    kw = 3  # kernel taps per axis (K == kh*kw with kh == kw == 3)
+    kw = 3
     P = margin + max(padding, dilation) + 1
     C = slabRef.shape[-1]
     cg = C // dg
     TRW = _TR * W
 
-    # (dg, C) 0/1 expansion matrix: lane c belongs to group c // cg
-    gIota = lax.broadcasted_iota(jnp.int32, (dg, C), 0)
-    cIota = lax.broadcasted_iota(jnp.int32, (dg, C), 1)
-    expand = (cIota // cg == gIota).astype(jnp.float32)
-
-    # Loop structure dictated by Mosaic constraints (docs/PERF.md):
-    #  - the slab's COLUMN dim is the sublane dim: dynamic slice starts
-    #    there must be 8-aligned, so column shifts are Python-unrolled
-    #    STATIC slices with the kernel-tap x-offset folded into the hat
-    #    argument (wx = hat(ox + bx - s) for static total shift s);
-    #  - the slab's ROW dim is untiled, so row starts stay dynamic;
-    #  - ONE fori body over k keeps the program compile-sized (a full
-    #    9-way k unroll hung the remote compile helper); the (dy, s)
-    #    window inside the body is Python-unrolled static slices.
-    # static column shifts s = bx + dx cover every kernel tap x-offset
-    # bx in [-padding, (kw-1)*dilation - padding] combined with the
-    # window dx in [-margin, margin]
     sMin = -padding - margin
     sMax = (kw - 1) * dilation - padding + margin
     nS = sMax - sMin + 1
-
     expandDims = (((0,), (0,)), ((), ()))
 
-    def kBody(k, accOut):
-        ky = k // kw
-        kx = k % kw
-        by = ky * dilation - padding
-        bx = kx * dilation - padding
-        # offset planes arrive TRANSPOSED as (dg, TR*W): minor dim TR*W
-        # is 128-aligned (a (.., W, dg) layout pads dg=8 lanes to 128 —
-        # 16x HBM bloat, ~12 GB of operands at B=7 360p); the hat math
-        # runs in (dg, TRW) and the group expansion contracts dim 0 of
-        # BOTH operands so no in-kernel transpose is ever materialized
-        oyT = oyRef[0, k].astype(jnp.float32)  # (dg, TRW)
-        # fold the (traced) tap x-offset into the hat argument so the
-        # column slice start stays STATIC: wx(s) = hat(ox - (s - bx))
-        oxbT = oxRef[0, k].astype(jnp.float32) + bx.astype(jnp.float32)
+    # PAIRED k taps: the window-loop FMAs and the final contraction run
+    # on lane-concatenated (.., 2C) operands so the 128-lane VPU/MXU is
+    # fully occupied at C=64 (single-tap ops pad half the lanes).
+    pairs = [(2 * i, 2 * i + 1) for i in range(K // 2)]
+    single = K - 1 if K % 2 else None
+
+    gIota = lax.broadcasted_iota(jnp.int32, (dg, C), 0)
+    cIota = lax.broadcasted_iota(jnp.int32, (dg, C), 1)
+    expand1 = (cIota // cg == gIota).astype(jnp.float32)
+    g2 = lax.broadcasted_iota(jnp.int32, (2 * dg, 2 * C), 0)
+    c2 = lax.broadcasted_iota(jnp.int32, (2 * dg, 2 * C), 1)
+    expand2 = (c2 // cg == g2).astype(jnp.float32)  # block-diag 2x
+
+    def hatsFor(k, by, bx):
+        # separable bilinear hats in (dg, TRW) layout; the tap x-offset
+        # bx folds into the hat argument so every column slice start in
+        # the window loop stays STATIC (the slab column dim is the
+        # sublane dim — dynamic starts there must be 8-aligned)
+        oyT = oyRef[0, k].astype(jnp.float32)
+        oxbT = oxRef[0, k].astype(jnp.float32) + float(bx)
         mkT = mRef[0, k].astype(jnp.float32)
-        # bilinear hats are SEPARABLE: expand the per-group row hats
-        # (win of them) and column hats (nS) to per-channel (TRW, C) in
-        # ONE batched MXU dot per k — the hats concatenate along the
-        # lane axis, the dot contracts dg once for all win+nS shifts,
-        # and static sublane slices split the result.  (Round-2 ran 16
-        # separate (TRW, dg)x(dg, C) dots per k; at dg=8 each is
-        # pipeline-overhead-bound, and 144 of them per program dominated
-        # the 209 ms kernel.)
-        hats = [
+        return [
             jnp.maximum(0.0, 1.0 - jnp.abs(oyT - float(d - margin))) * mkT
             for d in range(win)
         ] + [
             jnp.maximum(0.0, 1.0 - jnp.abs(oxbT - float(sMin + sIdx)))
             for sIdx in range(nS)
         ]
-        wAll = jnp.concatenate(hats, axis=1)  # (dg, (win+nS)*TRW)
+
+    def tapGeom(k):
+        ky, kx = k // kw, k % kw
+        return ky * dilation - padding, kx * dilation - padding
+
+    acc = jnp.zeros((TRW, Cout), jnp.float32)
+
+    for ka, kb in pairs:
+        bya, bxa = tapGeom(ka)
+        byb, bxb = tapGeom(kb)
+        hA = jnp.concatenate(hatsFor(ka, bya, bxa), axis=1)  # (dg, 16*TRW)
+        hB = jnp.concatenate(hatsFor(kb, byb, bxb), axis=1)
+        wAll = jnp.concatenate([hA, hB], axis=0)  # (2dg, 16*TRW)
         wE = lax.dot_general(
-            wAll, expand, expandDims, preferred_element_type=jnp.float32
-        )  # ((win+nS)*TRW, C)
+            wAll, expand2, expandDims, preferred_element_type=jnp.float32
+        )  # (16*TRW, 2C): lanes 0..C-1 = tap a, C..2C-1 = tap b
         wymE = [wE[d * TRW : (d + 1) * TRW] for d in range(win)]
         wxE = [wE[(win + i) * TRW : (win + i + 1) * TRW] for i in range(nS)]
-        acc = jnp.zeros((TRW, C), jnp.float32)
-        # factored accumulation: per row-shift d, sum the column terms
-        # first, then apply the row hat once — win+win*nS multiplies
-        # instead of 2*win*nS (same math; f32 add order changes only
-        # within one k tap)
+        accP = jnp.zeros((TRW, 2 * C), jnp.float32)
         for d in range(win):
             dy = d - margin
-            rows = slabRef[0, pl.ds(P + by + dy, _TR)]  # (_TR, Wp, C)
+            ra = slabRef[0, pl.ds(P + bya + dy, _TR)].astype(jnp.float32)
+            rb = slabRef[0, pl.ds(P + byb + dy, _TR)].astype(jnp.float32)
+            rowsP = jnp.concatenate([ra, rb], axis=-1)  # (_TR, Wp, 2C)
+            rowAcc = jnp.zeros((TRW, 2 * C), jnp.float32)
+            for sIdx in range(nS):
+                s = sMin + sIdx
+                sv = rowsP[:, P + s : P + s + W, :].reshape(TRW, 2 * C)
+                rowAcc = rowAcc + wxE[sIdx] * sv
+            accP = accP + wymE[d] * rowAcc
+        wP = jnp.concatenate([wRef[ka], wRef[kb]], axis=0)  # (2C, Cout)
+        acc = acc + jnp.dot(
+            accP.astype(wRef.dtype), wP, preferred_element_type=jnp.float32
+        )
+
+    if single is not None:
+        k = single
+        by, bx = tapGeom(k)
+        hS = jnp.concatenate(hatsFor(k, by, bx), axis=1)
+        wE = lax.dot_general(
+            hS, expand1, expandDims, preferred_element_type=jnp.float32
+        )
+        wymE = [wE[d * TRW : (d + 1) * TRW] for d in range(win)]
+        wxE = [wE[(win + i) * TRW : (win + i + 1) * TRW] for i in range(nS)]
+        acc1 = jnp.zeros((TRW, C), jnp.float32)
+        for d in range(win):
+            dy = d - margin
+            rows = slabRef[0, pl.ds(P + by + dy, _TR)]
             rowAcc = jnp.zeros((TRW, C), jnp.float32)
             for sIdx in range(nS):
                 s = sMin + sIdx
                 sv = rows[:, P + s : P + s + W, :]
-                rowAcc = rowAcc + wxE[sIdx] * sv.astype(jnp.float32).reshape(
-                    TRW, C
-                )
-            acc = acc + wymE[d] * rowAcc
-        return accOut + jnp.dot(
-            acc.astype(wRef.dtype), wRef[k], preferred_element_type=jnp.float32
+                rowAcc = rowAcc + wxE[sIdx] * sv.astype(jnp.float32).reshape(TRW, C)
+            acc1 = acc1 + wymE[d] * rowAcc
+        acc = acc + jnp.dot(
+            acc1.astype(wRef.dtype), wRef[k], preferred_element_type=jnp.float32
         )
 
-    out0 = jnp.zeros((TRW, Cout), jnp.float32)
-    accOut = lax.fori_loop(0, K, kBody, out0)
-    outRef[0] = accOut.reshape(_TR, W, Cout).astype(outDtype)
+    outRef[0] = acc.reshape(_TR, W, Cout).astype(outDtype)
 
 
 def dcnDensePallas(

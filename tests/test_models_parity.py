@@ -200,6 +200,24 @@ def test_sedn_arch(ref):
     scale = max(1.0, np.abs(refOut).max())
     assert np.abs(refOut - out).max() / scale < 1e-4
 
+    # plane-packed execution (the production path for dns l15/l25/l50)
+    # must equal channel-split: exercises the SE-fold einsum under
+    # block-diagonal weights (GAP / squeeze dots / folded trans stay
+    # plane-disjoint).
+    from moephoto_tpu.engine.executor import ModelExec
+    from moephoto_tpu.engine.tiling import TileSpec
+    from moephoto_tpu.models.api import packBlockDiag
+
+    spec = TileSpec(tile=32, pad=4, align=8, scale=1.0, batch=4)
+    img = np.random.RandomState(7).rand(40, 36, 3).astype(np.float32)
+    exSplit = ModelExec(sedn, params, spec, channelSplit=True, dtype=jnp.float32)
+    exPack = ModelExec(sedn, packBlockDiag(params, 2), spec, pack=2, dtype=jnp.float32)
+    a = np.asarray(exSplit(jnp.asarray(img)))
+    b = np.asarray(exPack(jnp.asarray(img)))
+    # random init amplifies to |out|~30 over 16 blocks; rtol covers the
+    # f32 reassociation between the split and packed schedules
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=5e-3)
+
 
 def _damp(torch, net, factor=0.2):
     """The custom normal(0, sqrt(2/n)) init of these nets explodes
