@@ -70,6 +70,58 @@
     demob: { label: '视频去模糊', video: true, fields: [] }
   };
 
+  // per-step help notes (reference behavior: src/js/main.js attaches
+  // `notes` per panel/option; text is our own).  Keyed by op, with
+  // optional per-model overrides under `model`.
+  var NOTES = {
+    SR: {
+      _op: '放大图像；GAN 模型细节更锐但可能引入伪纹理',
+      model: {
+        a: '动漫/插画线条优化，速度快',
+        p: '照片通用，保真度优先',
+        lite: '最快的超分模型，适合视频和大批量',
+        gan: '真实感细节生成，不保证与原图逐像素一致',
+        gana: '动漫 GAN：线稿更锐利'
+      }
+    },
+    DN: {
+      _op: '降噪强度可用“强度”滑杆调节，1 为完全应用',
+      model: {
+        lite5: '轻度噪点，速度最快',
+        lite10: '中度噪点',
+        lite15: '重度噪点',
+        15: '经典 SEDN 模型：慢但对高 ISO 噪点更干净',
+        25: '经典 SEDN 25：更强的平滑',
+        50: '经典 SEDN 50：极端噪点用',
+        MPRNet_denoising: 'MPRNet：多阶段修复，质量高、较慢',
+        NAFNet_32: 'NAFNet 小模型：快，SIDD 训练',
+        NAFNet_64: 'NAFNet 大模型：更慢一点，效果略好',
+        VSR_Cleaning: '视频超分前置清理，单独用也可以'
+      }
+    },
+    dehaze: {
+      _op: '修复类模型按输入类型选择；摩尔纹(屏幕)需要 ≥512px 输入',
+      model: {
+        dehaze: 'AOD-Net 去雾',
+        sun: '小摩尔纹模型：文档/扫描件',
+        moire_obj: '自然图像摩尔纹',
+        moire_screen_gan: '屏幕翻拍摩尔纹（输入需 ≥512px）',
+        MPRNet_deblurring: '运动模糊修复',
+        MPRNet_deraining: '雨纹去除',
+        NAFNet_deblur_32: '快速去模糊',
+        NAFNet_deblur_64: '高质量去模糊',
+        NAFNet_deblur_JPEG_64: '同时修复 JPEG 压缩伪影',
+        AiLUT_sRGB_3: '自适应 3D LUT 调色（sRGB）',
+        AiLUT_XYZ_3: 'XYZ 空间调色：色彩风格差异较大',
+        AiLUT_sRGB_5: 'PPR10K 风格：人像修图预设'
+      }
+    },
+    resize: { _op: '双三次缩放；长宽按倍数分别取整' },
+    slomo: { _op: '光流插帧；开启去重可跳过重复帧，TTA 提升光流质量但更慢' },
+    VSR: { _op: 'IconVSR 视频超分 ×4：利用前后帧信息，比逐帧超分清晰' },
+    demob: { _op: 'ESTRNN 视频去模糊：利用相邻帧' }
+  };
+
   var $ = function (id) { return document.getElementById(id); };
   var app = $('app');
 
@@ -131,6 +183,19 @@
       del.type = 'button'; del.className = 'moe-del'; del.textContent = '删除';
       del.addEventListener('click', function () { steps.splice(i, 1); renderSteps(); });
       row.appendChild(del);
+      var note = document.createElement('div');
+      note.className = 'moe-note';
+      var refreshNote = function () {
+        var n = NOTES[st.op] || {};
+        var parts = [];
+        if (n.model && st.model != null && n.model[st.model]) parts.push(n.model[st.model]);
+        if (n._op) parts.push(n._op);
+        note.textContent = parts.join(' — ');
+        note.style.display = parts.length ? '' : 'none';
+      };
+      refreshNote();
+      row.addEventListener('change', refreshNote);
+      row.appendChild(note);
       list.appendChild(row);
     });
     renderSummary();
