@@ -544,7 +544,7 @@ def _benchSEDN(h=1080, w=1920):
     return round(h * w / 1e6 / ((time.perf_counter() - t0) / 4), 3)
 
 
-def _benchESTRNN(h=720, w=1280, n=36, warm=12):
+def _benchESTRNN(h=720, w=1280, n=44, warm=20):
     # warm must cover every stream-stage batch shape: late shapes would
     # otherwise compile inside the timed window (first-run 6.9 vs
     # steady-state 17.4 Mpx/s)
@@ -573,7 +573,7 @@ def _benchESTRNN(h=720, w=1280, n=36, warm=12):
     return _medianRow([cnt * h * w / 1e6 / dt for dt, cnt in dts])
 
 
-def _benchIFRNet(h=720, w=1280, n=28, warm=10):
+def _benchIFRNet(h=720, w=1280, n=44, warm=20):
     import jax
     import jax.numpy as jnp
 

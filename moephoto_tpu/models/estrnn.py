@@ -156,13 +156,37 @@ def getOpt(option: dict) -> ESTRNNOpt:
     return opt
 
 
+def cellScanApply(params: Params, frames: jnp.ndarray, hidden: jnp.ndarray):
+    """RDBCell recurrence over a chunk of ``T`` frames as ONE program
+    (``lax.scan`` carrying the hidden state).  Same sequential math as
+    T ``cellApply`` calls — chunking only cuts dispatch count: each
+    device round-trip costs ~31 ms through the tunnel, and the per-frame
+    graph spent 4 dispatches + a sync per frame (docs/PERF.md round 3).
+
+    frames: (T, H, W, 3); hidden: (1, h, w, c) -> ((T, h, w, c), hidden')
+    """
+
+    def step(h, frame):
+        feat, h2 = cellApply(params, frame[None], h)
+        return h2, feat[0]
+
+    hidden, hs = jax.lax.scan(step, hidden, frames)
+    return hs, hidden
+
+
 # module-level stage jits: executables persist across graph instances,
 # so per-task pipeline rebuilds don't re-trace/re-compile known shapes
 # stageJit == plain jax.jit single-device; with config.meshShape set the
 # stages run row-sharded over the mesh (parallel/temporal.py)
 cellJit = stageJit(cellApply, (None, 1, 1))  # x/hidden (b, h, w, c)
+cellScanJit = stageJit(cellScanApply, (None, 1, 1))  # frames (T, H, W, 3)
 gsaJit = stageJit(gsaApply, (None, 2, None))  # hs (b, 5, h, w, c)
 reconsJit = stageJit(reconsApply, (None, 1))
+
+# frames per stage dispatch: the recurrence runs as scan chunks and the
+# batch stages (pooling/GSA/recons) pop up to this many items at once.
+# Latency-neutral for offline video; tail pops compile once per size.
+Chunk = 8
 
 
 def doESTRNN(func, node, opt: ESTRNNOpt):
@@ -174,13 +198,15 @@ def doESTRNN(func, node, opt: ESTRNNOpt):
     hiddenBox = {"h": None}
 
     def calcForward(x, last=None):
-        # x: list of (H, W, 3) frames (batch of 1 from the driver)
-        frame = x[0][None].astype(opt.dtype)
+        # x: list of up to ``Chunk`` (H, W, 3) frames; the whole chunk
+        # runs as one scan program (cellScanApply) with the hidden carry
+        # threaded across chunks — identical math to per-frame calls
+        frames = jnp.stack(x).astype(opt.dtype)
         if hiddenBox["h"] is None:
-            H, W = frame.shape[1] >> DS_ratio, frame.shape[2] >> DS_ratio
+            H, W = frames.shape[1] >> DS_ratio, frames.shape[2] >> DS_ratio
             hiddenBox["h"] = jnp.zeros((1, H, W, NumFeat), opt.dtype)
-        h, hiddenBox["h"] = cellJit(opt.params, frame, hiddenBox["h"])
-        return h  # (1, h, w, c) -> one item
+        hs, hiddenBox["h"] = cellScanJit(opt.params, frames, hiddenBox["h"])
+        return hs  # (r, h, w, c) -> r items
 
     def pooling(hs, last=None):
         # hs: list of (h, w, c) items
@@ -213,11 +239,11 @@ def doESTRNN(func, node, opt: ESTRNNOpt):
     outS = Stream(store=False, name="out")
     outS.sink = sinkList
 
-    graph.stage(nodes[0].bindFunc(calcForward), [inp], [forward])
+    graph.stage(nodes[0].bindFunc(calcForward), [inp], [forward], size=Chunk)
     graph.tee(forward, [hs, inpW])
-    graph.stage(nodes[1].bindFunc(pooling), [inpW], [w])
-    graph.stage(nodes[2].bindFunc(fusionStage), [hs, w], [fusion])
-    graph.stage(nodes[3].bindFunc(reconsStage), [fusion], [outS])
+    graph.stage(nodes[1].bindFunc(pooling), [inpW], [w], size=Chunk)
+    graph.stage(nodes[2].bindFunc(fusionStage), [hs, w], [fusion], size=Chunk)
+    graph.stage(nodes[3].bindFunc(reconsStage), [fusion], [outS], size=Chunk)
 
     def initFunc(o, x):
         o.padF, o.unpadF, size = alignPad(x, 8)

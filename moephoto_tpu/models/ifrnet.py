@@ -210,6 +210,34 @@ def decoderApply(
         upFlow0, upFlow1 = f0_, f1_
 
 
+def decoderBatchApply(
+    params: Params, chs, side: int, feats: List[jnp.ndarray], embt: jnp.ndarray,
+    ensemble: int = 0,
+) -> jnp.ndarray:
+    """Decoder for a CHUNK of r frame pairs in ONE program: the
+    per-pair bodies are Python-unrolled, NOT batched along a (r*k) conv
+    batch axis.  Measured on chip @720p r=8 (docs/PERF.md round 3): the
+    batched form hits super-linear XLA gather scaling in the largest
+    feature warp ((8,368,640,32): 253 ms vs 94 unrolled) landing at
+    736 ms/chunk; eight separate param-heavy dispatches cost 206
+    (~26 ms RPC each); the unrolled single program is 186 ms and pays
+    one dispatch.  Op-by-op identical to r per-pair calls, so outputs
+    are bit-equal to the reference schedule.
+
+    feats: 4 levels small->large, each (r, 2, h_l, w_l, c_l).
+    embt: (r, k) -> (r, k, H, W, 4+extra).
+    """
+    r = embt.shape[0]
+    outs = [
+        decoderApply(
+            params, chs, side, [lv[i] for lv in feats], embt[i],
+            ensemble=ensemble,
+        )
+        for i in range(r)
+    ]
+    return jnp.stack(outs)
+
+
 def postOutApply(
     params: Params,
     pair: jnp.ndarray,  # (2, H, W, 3) raw frames
@@ -234,6 +262,27 @@ def postOutApply(
     merged = upMask * (img0w - img1w) + img1w + meanP.astype(decoded.dtype)
     pred = merged + upRes
     return jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
+
+
+def postOutBatchApply(
+    params: Params,
+    pair: jnp.ndarray,  # (r, 2, H, W, 3) raw frames
+    pairN: jnp.ndarray,  # (r, 2, H, W, 3) mean-normalized
+    means: jnp.ndarray,  # (r, 2, 1, 1, 1)
+    embt: jnp.ndarray,  # (r, k)
+    decoded: jnp.ndarray,  # (r, k, H, W, 8)
+) -> jnp.ndarray:
+    """Chunk-of-r-pairs merge in ONE program, per-pair bodies unrolled
+    (NOT warp-batched): like ``decoderBatchApply``, a (r*k)-batched warp
+    either blows up the XLA gather fallback super-linearly or forces one
+    chunk-global Pallas tier choice; unrolling keeps per-pair tier
+    dispatch and bit-equality with the reference schedule while paying a
+    single ~26 ms param-marshal RPC for the whole chunk."""
+    r = embt.shape[0]
+    return jnp.stack([
+        postOutApply(params, pair[i], pairN[i], means[i], embt[i], decoded[i])
+        for i in range(r)
+    ])
 
 
 # --------------------------------------------------------------------------
@@ -386,6 +435,11 @@ _stageJits: dict = {}
 postJit = stageJit(
     postOutApply, (None, 1, 1, None, None, 1)
 )  # pair/pairN (2,H,W,3), decoded (k,H,W,8)
+# batched-over-pairs post: every arg gains a leading pair axis r.  One
+# dispatch merges r pairs — each stream-stage RPC costs ~31 ms through
+# the tunnel (docs/PERF.md round 3), so the per-frame graph was
+# dispatch-bound, not compute-bound.
+postBatchJit = stageJit(postOutBatchApply, (None, 2, 2, None, None, 2))
 
 
 def _encoderJit(chs):
@@ -407,6 +461,35 @@ def _decoderJit(chs, side, ensemble):
             (None, 1, None),  # f: pyramid list, every level (2, h_l, w_l, c)
         )
     return _stageJits[key]
+
+
+def _decoderBatchJit(chs, side, ensemble):
+    """Pair-batched decoder: f levels (r, 2, h, w, c), t (r, k) ->
+    (r, k, H/2, W/2, 8).  The (r, k) axes fold into one conv batch dim
+    so one dispatch runs r pairs on the MXU (decoderBatchApply)."""
+    key = ("decB", chs, side, ensemble)
+    if key not in _stageJits:
+        _stageJits[key] = stageJit(
+            lambda p, f, t: decoderBatchApply(
+                p, list(chs), side, f, t, ensemble=ensemble
+            ),
+            (None, 2, None),
+        )
+    return _stageJits[key]
+
+
+# per-chunk frame means / normalization as single dispatches
+meanJit = stageJit(
+    lambda f: jnp.mean(f.astype(jnp.float32), axis=(1, 2, 3), keepdims=True),
+    (1,),
+)
+normJit = stageJit(lambda f, m: f - m.astype(f.dtype), (1, None))
+
+
+# frame pairs per stage dispatch (see ``Chunk`` in models/estrnn.py):
+# batching amortizes the ~31 ms/dispatch tunnel RPC; latency-neutral
+# for offline video.  Tail pops compile once per residual size.
+Chunk = 8
 
 
 def doSlomo(func, node, opt: IFRNetOpt):
@@ -431,19 +514,19 @@ def doSlomo(func, node, opt: IFRNetOpt):
     decJit = _decoderJit(tuple(opt.chs), opt.side, opt.ensemble)
 
     listBatch = lambda x: x
+    decBJit = _decoderBatchJit(tuple(opt.chs), opt.side, opt.ensemble)
 
     def encode(frames, last=None):
-        f = frames[0]
-        feats = encJit(opt.params, f[None].astype(opt.dtype))
-        return [[lv[0] for lv in feats]]  # one item: list of 4 (h,w,c)
+        # frames: (r, H, W, 3) (the tensor stream stacks the chunk)
+        feats = encJit(opt.params, frames.astype(opt.dtype))
+        r = frames.shape[0]
+        return [[lv[i] for lv in feats] for i in range(r)]
 
     def calcMean(frames, last=None):
-        f = frames[0]
-        m = jnp.mean(f.astype(jnp.float32))
-        return [jnp.full((1, 1, 1), m, jnp.float32)]
+        return meanJit(frames)  # (r, 1, 1, 1); put() re-splits rows
 
     def normalize(frames, means, last=None):
-        return [frames[0] - means[0].astype(frames[0].dtype)]
+        return normJit(frames, means)
 
     def levelsBatch(x):
         """Stack per-frame feature lists level-wise; idempotent across
@@ -451,31 +534,70 @@ def doSlomo(func, node, opt: IFRNetOpt):
         return [jnp.stack([s[j] for s in x]) for j in range(4)]
 
     def decode(featPairs, embts, last=None):
-        feat = [lv[0] for lv in featPairs]  # 4 levels, each (2, h, w, c)
-        embt = embts[0]
-        k = len(embt[0])
-        if k == 0:
-            return [(embt, None)]
-        out = decJit(opt.params, feat, jnp.asarray(embt[0]).astype(opt.dtype))
-        return [(embt, out)]
+        # featPairs: 4 levels (r, 2, h, w, c); embts: r embt tuples.
+        # Uniform-k chunks (every integer sf) run as ONE batched
+        # dispatch; mixed-k (fractional sf / dedupe residue) and k=0
+        # items fall back to per-pair calls — exact same math.
+        ks = [len(e[0]) for e in embts]
+        r = len(embts)
+        if r and ks[0] > 0 and all(k == ks[0] for k in ks):
+            t = jnp.asarray(np.stack([e[0] for e in embts])).astype(opt.dtype)
+            out = decBJit(opt.params, featPairs, t)  # (r, k, h, w, 8)
+            return [(embts[i], out, i) for i in range(r)]
+        res = []
+        for i in range(r):
+            embt = embts[i]
+            if len(embt[0]) == 0:
+                res.append((embt, None, 0))
+                continue
+            feat = [lv[i] for lv in featPairs]
+            out = decJit(
+                opt.params, feat, jnp.asarray(embt[0]).astype(opt.dtype)
+            )
+            res.append((embt, out[None], 0))
+        return res
 
     def post(pairs, pairNs, meanPairs, decodes, last=None):
-        pair = pairs[0]
-        pairN = pairNs[0]
-        means = meanPairs[0]
-        embt, decoded = decodes[0]
-        res = []
-        k = len(embt[0])
-        for _ in range(int(embt[1])):  # keep-first copies
-            res.append(pair[0].astype(jnp.float32))
-        if k:
-            preds = postJit(
-                opt.params, pair, pairN, means, jnp.asarray(embt[0]), decoded
-            )
-            for i in range(k):
-                res.append(preds[i])
-        for _ in range(int(embt[2])):  # keep-last copies
-            res.append(pair[1].astype(jnp.float32))
+        # pairs/pairNs: (r, 2, H, W, 3); meanPairs: (r, 2, 1, 1, 1);
+        # decodes: r items (embt, batchedDecode | None, index)
+        r = len(decodes)
+        embts = [d[0] for d in decodes]
+        ks = [len(e[0]) for e in embts]
+        res: List = []
+        if r and ks[0] > 0 and all(k == ks[0] for k in ks):
+            first = decodes[0][1]
+            if all(d[1] is first for d in decodes) and [
+                d[2] for d in decodes
+            ] == list(range(r)) and first.shape[0] == r:
+                dec = first  # aligned pop: reuse the batch, no restack
+            else:
+                dec = jnp.stack([d[1][d[2]] for d in decodes])
+            t = jnp.asarray(np.stack([e[0] for e in embts]))
+            preds = postBatchJit(
+                opt.params, pairs, pairNs, meanPairs, t, dec
+            )  # (r, k, H, W, 3)
+            for i, embt in enumerate(embts):
+                for _ in range(int(embt[1])):
+                    res.append(pairs[i, 0].astype(jnp.float32))
+                for j in range(ks[0]):
+                    res.append(preds[i, j])
+                for _ in range(int(embt[2])):
+                    res.append(pairs[i, 1].astype(jnp.float32))
+            return res
+        for i in range(r):
+            embt, decoded, di = decodes[i]
+            k = len(embt[0])
+            for _ in range(int(embt[1])):  # keep-first copies
+                res.append(pairs[i, 0].astype(jnp.float32))
+            if k:
+                preds = postJit(
+                    opt.params, pairs[i], pairNs[i], meanPairs[i],
+                    jnp.asarray(embt[0]), decoded[di],
+                )
+                for j in range(k):
+                    res.append(preds[j])
+            for _ in range(int(embt[2])):  # keep-last copies
+                res.append(pairs[i, 1].astype(jnp.float32))
         return res
 
     opt.embt = EmbtState(opt.sf)
@@ -494,11 +616,11 @@ def doSlomo(func, node, opt: IFRNetOpt):
         inps = [Stream(name=f"inps{i}") for i in range(3)]
         graph.tee(inp, inps)
         means = [mean0, Stream(name="mean1")]
-        graph.stage(calcMean, [inps[0]], means)
+        graph.stage(calcMean, [inps[0]], means, size=Chunk)
         inpNs = [inpN0, Stream(name="inpN1")]
-        graph.stage(normalize, [inps[1], means[0]], inpNs)
+        graph.stage(normalize, [inps[1], means[0]], inpNs, size=Chunk)
         ft1 = Stream(tensor=False, batchFunc=listBatch, name="ft1")
-        graph.stage(nodes[0].bindFunc(encode), [inpNs[0]], [ft1])
+        graph.stage(nodes[0].bindFunc(encode), [inpNs[0]], [ft1], size=Chunk)
         dedupeOut = [
             Stream(tensor=False, batchFunc=listBatch, name=f"dd{i}") for i in range(5)
         ]
@@ -519,14 +641,17 @@ def doSlomo(func, node, opt: IFRNetOpt):
     else:
         inps = [Stream(name="inps0"), Stream(name="inps1")]
         graph.tee(inp, inps + [pairRaw])
-        graph.stage(calcMean, [inps[0]], [mean0, meanPair])
-        graph.stage(normalize, [inps[1], mean0], [inpN0, pairN])
-        graph.stage(nodes[0].bindFunc(encode), [inpN0], [pairFeat])
+        graph.stage(calcMean, [inps[0]], [mean0, meanPair], size=Chunk)
+        graph.stage(normalize, [inps[1], mean0], [inpN0, pairN], size=Chunk)
+        graph.stage(nodes[0].bindFunc(encode), [inpN0], [pairFeat], size=Chunk)
         embSource = opt.embt
 
-    graph.stage(nodes[1].bindFunc(decode), [pairFeat, embSource], [decodeS])
     graph.stage(
-        nodes[2].bindFunc(post), [pairRaw, pairN, meanPair, decodeS], [outS]
+        nodes[1].bindFunc(decode), [pairFeat, embSource], [decodeS], size=Chunk
+    )
+    graph.stage(
+        nodes[2].bindFunc(post), [pairRaw, pairN, meanPair, decodeS], [outS],
+        size=Chunk,
     )
 
     def initFunc(o, x):
