@@ -113,6 +113,28 @@ class Stream:
         self.state = self.state[r:]
         return self.batchFunc(batch)
 
+    def popItems(self, size: int = 1):
+        """Like ``pop`` but WITHOUT the outer batchFunc: returns the
+        item list itself (window streams still apply the per-window
+        batchFunc — that array is the item).  Tees use this to move
+        items by reference: popping a tensor stream just to re-split it
+        into the destinations costs a device stack + a slice per item
+        through the tunnel (~3-8 ms each), ~10 eager RPCs per frame per
+        tee in the video graphs (docs/PERF.md round 3)."""
+        r = self.avail(size)
+        if not r:
+            return None
+        if self.wm1:
+            batch = [
+                self.batchFunc(self.state[i : i + self.wm1 + 1]) for i in range(r)
+            ]
+        else:
+            batch = self.state[:r]
+        if self.reserve:
+            self.stateR = (self.stateR + self.state[r - self.reserve : r])[-self.reserve :]
+        self.state = self.state[r:]
+        return batch
+
     def __len__(self):
         return self.avail()
 
@@ -145,12 +167,19 @@ class Stage:
         size: int = 1,
         args: Sequence = (),
         flushOnce: bool = False,
+        raw: bool = False,
     ):
         self.fn = fn
         self.ins = list(ins)
         self.outs = list(outs)
-        self.size = size
+        # size=0: drain mode — fire on ANY r >= 1 and pop everything
+        # available (tees)
+        self.size = size if size else 1
+        self.drain = size == 0
         self.args = list(args)
+        # raw: pop item LISTS (Stream.popItems) instead of batched
+        # arrays — identity tees move items by reference, zero device ops
+        self.raw = raw
         # ``flushOnce``: the reference's pull scheduler guarantees such a
         # stage sees ``last=True`` on its final real batch; the eager
         # scheduler may have consumed everything already, so the stage is
@@ -180,8 +209,11 @@ class Stage:
                     return False
             else:
                 return False
-        r = min(r, self.size)
-        batches = [s.pop(r) for s in self.ins]
+        if not self.drain:
+            r = min(r, self.size)
+        batches = [
+            (s.popItems(r) if self.raw else s.pop(r)) for s in self.ins
+        ]
         out = self.fn(*self.args, *batches, last=last)
         if out is None:
             return True
@@ -205,16 +237,22 @@ class StreamGraph:
         self.stages: List[Stage] = []
         self._producer = {}  # id(stream) -> producing stage
 
-    def stage(self, fn, ins, outs, size=1, args=(), flushOnce=False) -> Stage:
-        st = Stage(fn, ins, outs, size, args, flushOnce)
+    def stage(
+        self, fn, ins, outs, size=1, args=(), flushOnce=False, raw=False
+    ) -> Stage:
+        st = Stage(fn, ins, outs, size, args, flushOnce, raw)
         self.stages.append(st)
         for o in st.outs:
             self._producer[id(o)] = st
         return st
 
     def tee(self, src: Stream, dsts: Sequence[Stream]):
-        """Identity fan-out stage."""
-        return self.stage(lambda batch, last=None: batch, [src], dsts)
+        """Identity fan-out: items move by REFERENCE (raw pop of all
+        available, list put) — no stack/slice device ops on the tunnel
+        (docs/PERF.md round 3)."""
+        return self.stage(
+            lambda batch, last=None: batch, [src], dsts, size=0, raw=True
+        )
 
     def _depth(self, st: Stage, memo) -> int:
         if id(st) in memo:

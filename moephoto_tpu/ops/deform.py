@@ -194,7 +194,6 @@ def deformConv2d(
     # the fast dense branch instead of letting `Inf > margin` (or a
     # False `NaN > margin`) pick a path by accident
     bound = jnp.where(jnp.isfinite(bound), bound, 0.0)
-    inBounds = jnp.logical_not(bound > float(margin))
 
     # production TPU path: the VMEM-resident Pallas sampler replaces the
     # HBM-bound XLA shift-window accumulator (879 -> 209 ms per
@@ -215,23 +214,26 @@ def deformConv2d(
     if usePallas:
         from moephoto_tpu.ops.dcnkernel import dcnDensePallas
 
-        dense = lambda a, o, mm: dcnDensePallas(
-            a, o, mm, weight, bias, dg, padding, dilation, margin
-        )
+        impl = dcnDensePallas
     else:
-        dense = lambda a, o, mm: _deformConvDense(
-            a, o, mm, weight, bias, dg, padding, dilation, margin
+        impl = _deformConvDense
+
+    def dense(mg):
+        return lambda a, o, mm: impl(
+            a, o, mm, weight, bias, dg, padding, dilation, mg
         )
-    return lax.cond(
-        inBounds,
-        dense,
-        lambda a, o, mm: _deformConvGather(
-            a, o, mm, weight, bias, dg, padding, dilation
-        ),
-        x,
-        off,
-        m,
+
+    gather = lambda a, o, mm: _deformConvGather(
+        a, o, mm, weight, bias, dg, padding, dilation
     )
+    # tiered window size, smallest first (like ops/warp.warpBounded):
+    # PCD offsets from real checkpoints are usually sub-pixel, and the
+    # sampler cost scales with the (2M+1)^2 window — the M=1 tier runs
+    # 9 taps instead of 49 (EDVR's two full-res DCNs were ~160 ms each
+    # at B=7 with M=3; docs/PERF.md round 3)
+    margins = [1, margin] if margin > 1 else [margin]
+    idx = sum((bound > float(mg)).astype(jnp.int32) for mg in margins)
+    return lax.switch(idx, [dense(mg) for mg in margins] + [gather], x, off, m)
 
 
 def modulatedDeformConvPack(

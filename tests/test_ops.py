@@ -162,6 +162,13 @@ def test_deform_conv_dense_equals_gather():
     bigRef = deformConv2d(x, offBig, mask, wgt, bias, dg, margin=0)
     np.testing.assert_allclose(np.asarray(big), np.asarray(bigRef), atol=1e-5)
 
+    # sub-pixel offsets: the dispatch's M=1 fast tier (9-tap window)
+    # must stay exact vs gather
+    offSm = jnp.asarray((rng.rand(B, H, W, 2 * dg * 9).astype(np.float32) - 0.5) * 1.8)
+    small = deformConv2d(x, offSm, mask, wgt, bias, dg, margin=3)
+    smallRef = deformConv2d(x, offSm, mask, wgt, bias, dg, margin=0)
+    np.testing.assert_allclose(np.asarray(small), np.asarray(smallRef), atol=1e-5)
+
 
 def test_deferred_subpixel_conv():
     """deferredSubpixelConv(fine conv) == conv on the interleaved image."""
