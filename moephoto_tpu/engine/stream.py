@@ -23,8 +23,68 @@ import jax.numpy as jnp
 import numpy as np
 
 
+class RowRef:
+    """Lazy reference to row ``i`` of a batched stage output.
+
+    ``Stream.put`` of a device array used to iterate it — one eager
+    slice RPC per row through the tunnel (~1.5-3 ms each), then window
+    pops re-stacked them row by row: ~130 eager device ops per 8-frame
+    IFRNet chunk (docs/PERF.md round 3).  Storing (ref, i) instead and
+    re-materializing with run-merged slices turns a chunk's round trip
+    through a stream into O(1) device ops.
+    """
+
+    __slots__ = ("ref", "i")
+
+    def __init__(self, ref, i: int):
+        self.ref = ref
+        self.i = i
+
+    def get(self):
+        return self.ref[self.i]
+
+
+def materialize(item):
+    """A single stream item as a real array (RowRef -> row slice)."""
+    return item.get() if isinstance(item, RowRef) else item
+
+
 def stackBatch(items):
-    return jnp.stack(items)
+    """Stack stream items into a (len(items), ...) array with as few
+    device ops as possible: contiguous RowRef runs of the same source
+    array become single slices (the whole array when it is covered
+    exactly); loose items are stacked in one group per run."""
+    parts: List = []
+    run = None  # (ref, start, stop) for a RowRef run
+    loose: List = []  # consecutive non-RowRef items
+
+    def flushRun():
+        nonlocal run
+        if run is not None:
+            ref, a, b = run
+            parts.append(ref if (a, b) == (0, ref.shape[0]) else ref[a:b])
+            run = None
+
+    def flushLoose():
+        nonlocal loose
+        if loose:
+            parts.append(jnp.stack(loose))
+            loose = []
+
+    for it in items:
+        if isinstance(it, RowRef):
+            flushLoose()
+            if run is not None and run[0] is it.ref and run[2] == it.i:
+                run = (run[0], run[1], it.i + 1)
+            else:
+                flushRun()
+                run = (it.ref, it.i, it.i + 1)
+        else:
+            flushRun()
+            loose.append(it)
+    flushRun()
+    flushLoose()
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
 
 class Stream:
@@ -90,28 +150,60 @@ class Stream:
             return None
         if self.sink is not None:
             ext = batch if isinstance(batch, list) else list(batch)
-            self.sink.extend(ext)
+            self.sink.extend(materialize(t) for t in ext)
             return batch
         if self.store:
-            self.state.extend(t for t in batch)
+            if self.tensor and isinstance(batch, (jnp.ndarray, np.ndarray)):
+                # lazy row refs: no per-row slice RPCs on put; pops
+                # re-merge contiguous runs into single device slices
+                self.state.extend(RowRef(batch, i) for i in range(batch.shape[0]))
+            else:
+                self.state.extend(t for t in batch)
         if self.startPad:
             self.startPad -= self._pad(self.startPad)
         return batch
 
-    def pop(self, size: int = 1):
+    def _window(self, r: int):
+        """The r sliding windows over state, each already batched.
+
+        Tensor windows build column-wise: column j (= state[i+j] for
+        every window i) is one run-merged slice, and ONE stack along
+        axis 1 yields (r, window, ...) — O(window) device ops instead of
+        O(r * window)."""
+        w = self.wm1 + 1
+        if self.batchFunc is stackBatch:
+            cols = [stackBatch(self.state[j : j + r]) for j in range(w)]
+            return jnp.stack(cols, axis=1)  # (r, w, ...)
+        return [
+            self.batchFunc(
+                [materialize(t) for t in self.state[i : i + w]]
+            )
+            for i in range(r)
+        ]
+
+    def _popCommon(self, size: int):
         r = self.avail(size)
         if not r:
-            return None
+            return None, 0
         if self.wm1:
-            batch = [
-                self.batchFunc(self.state[i : i + self.wm1 + 1]) for i in range(r)
-            ]
+            batch = self._window(r)
         else:
             batch = self.state[:r]
         if self.reserve:
             self.stateR = (self.stateR + self.state[r - self.reserve : r])[-self.reserve :]
         self.state = self.state[r:]
-        return self.batchFunc(batch)
+        return batch, r
+
+    def pop(self, size: int = 1):
+        batch, r = self._popCommon(size)
+        if not r:
+            return None
+        if self.wm1:
+            # tensor windows are already the (r, w, ...) array
+            return batch if self.batchFunc is stackBatch else self.batchFunc(batch)
+        if self.batchFunc is stackBatch:
+            return stackBatch(batch)
+        return self.batchFunc([materialize(t) for t in batch])
 
     def popItems(self, size: int = 1):
         """Like ``pop`` but WITHOUT the outer batchFunc: returns the
@@ -121,18 +213,12 @@ class Stream:
         into the destinations costs a device stack + a slice per item
         through the tunnel (~3-8 ms each), ~10 eager RPCs per frame per
         tee in the video graphs (docs/PERF.md round 3)."""
-        r = self.avail(size)
+        batch, r = self._popCommon(size)
         if not r:
             return None
-        if self.wm1:
-            batch = [
-                self.batchFunc(self.state[i : i + self.wm1 + 1]) for i in range(r)
-            ]
-        else:
-            batch = self.state[:r]
-        if self.reserve:
-            self.stateR = (self.stateR + self.state[r - self.reserve : r])[-self.reserve :]
-        self.state = self.state[r:]
+        if self.wm1 and self.batchFunc is stackBatch:
+            # as items: per-window rows of the (r, w, ...) array
+            return [RowRef(batch, i) for i in range(r)]
         return batch
 
     def __len__(self):

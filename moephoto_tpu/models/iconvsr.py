@@ -415,22 +415,44 @@ fScanJit = stageJit(
     _forwardScan,  # (params, featProp(1,H..), inp, bwd, flow, kfStack, idx/masks)
     (None, 1, 1, 1, 1, 1, None, None, None, None),
 )
-upJit = stageJit(
-    lambda p, inp, feat: upsampleApply(p, feat)
-    + resizeBilinear(inp, inp.shape[1] * 4, inp.shape[2] * 4).astype(jnp.float32),
-    (None, 1, 1),  # inp/feat (B, H, W, C)
-)
+# upsample sub-batch: lax.map over B=4 slabs keeps only ~4.8 GB of
+# 4x-res intermediates live at a time (a flat (20, ...) batched body
+# tried to allocate 24 GB of HBM; a B=1 map body lost the conv batch
+# efficiency and measured 3.5% slower end-to-end) while the whole
+# 20-frame chunk still rides a single dispatch.
+UpSubBatch = 4
+
+
+def _upsampleSlab(p, inpFeat):
+    inp, feat = inpFeat  # (UpSubBatch, H, W, C)
+    return upsampleApply(p, feat) + resizeBilinear(
+        inp, inp.shape[1] * 4, inp.shape[2] * 4
+    ).astype(jnp.float32)
+
+
+def _upsampleChunk(p, inp, feat):
+    T = inp.shape[0]
+    n4 = (T // UpSubBatch) * UpSubBatch
+    outs = []
+    if n4:
+        sub = lambda a: a[:n4].reshape((-1, UpSubBatch) + a.shape[1:])
+        out = jax.lax.map(lambda t: _upsampleSlab(p, t), (sub(inp), sub(feat)))
+        outs.append(out.reshape((-1,) + out.shape[2:]))
+    if T > n4:  # tail-exact remainder slab (one cached compile per size)
+        outs.append(_upsampleSlab(p, (inp[n4:], feat[n4:])))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
+
+upJit = stageJit(_upsampleChunk, (None, 1, 1))  # inp/feat (B, H, W, C)
 
 # dispatch granularity only — the forward scan THREADS its carry across
-# chunks and upsample is per-frame pointwise, so outputs are bit-equal
-# for any size (unlike BackwardChunk, which is semantic: fresh state per
-# chunk, parity-pinned to the reference's [20, 20, tail] schedule).
-# Each dispatch costs ~31 ms through the tunnel; 20-frame forward chunks
-# cut the per-clip dispatch count (docs/PERF.md round 2).  Upsample must
-# stay small: its 4x-res pixel-shuffle intermediate is ~1.2 GB/frame —
-# chunk 20 tried to allocate 24 GB of HBM.
+# chunks and upsample is lax.map'ed per sub-batch, so outputs are
+# bit-equal for any size (unlike BackwardChunk, which is semantic: fresh
+# state per chunk, parity-pinned to the reference's [20, 20, tail]
+# schedule).  Each dispatch costs ~31 ms through the tunnel; 20-frame
+# chunks cut the per-clip dispatch count (docs/PERF.md rounds 2-3).
 ForwardChunk = 20
-UpsampleChunk = 4
+UpsampleChunk = 20
 
 
 def _packOptional(items, n, T, shape, dtype):
@@ -454,6 +476,48 @@ def _padBatch(arr, T, dtype):
         return arr
     pad = jnp.zeros((T - n,) + arr.shape[1:], dtype)
     return jnp.concatenate([arr, pad])
+
+
+def _stackRuns(items, n, T, shape, dtype=jnp.float32):
+    """Stack per-frame stream items back into a (T, *shape) chunk array
+    from (ref, idx) reference items (None -> zeros), merging contiguous
+    runs of the same source array into single slices.  A chunk's items
+    normally all come from ONE upstream dispatch, so this is ~1-3 device
+    ops instead of T slice + stack eager RPCs (docs/PERF.md round 3)."""
+    parts: List = []
+    run = None  # (ref, start, stop)
+    zeros = 0
+
+    def flushRun():
+        nonlocal run
+        if run is not None:
+            ref, a, b = run
+            seg = ref[a:b] if (a, b) != (0, ref.shape[0]) else ref
+            parts.append(seg if seg.dtype == dtype else seg.astype(dtype))
+            run = None
+
+    def flushZeros():
+        nonlocal zeros
+        if zeros:
+            parts.append(jnp.zeros((zeros,) + tuple(shape), dtype))
+            zeros = 0
+
+    for it in items[:n]:
+        if it is None:
+            flushRun()
+            zeros += 1
+            continue
+        ref, i = it
+        flushZeros()
+        if run is not None and run[0] is ref and run[2] == i:
+            run = (run[0], run[1], i + 1)
+        else:
+            flushRun()
+            run = (ref, i, i + 1)
+    flushRun()
+    zeros += T - n
+    flushZeros()
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
 
 def doVSR(func, node, opt: VSROpt):
@@ -489,10 +553,11 @@ def doVSR(func, node, opt: VSROpt):
     tailState = {"flowNone": False, "backPad": False}
 
     def calcFlowBackward(pairs, last=None):
-        out = []
+        # items are (batchRef, idx) — consumers restack via _stackRuns
+        out: List = []
         if pairs is not None:
             flows = spyJit(opt.params, pairs.astype(opt.dtype))  # (b, H, W, 2)
-            out = [flows[i] for i in range(flows.shape[0])]
+            out = [(flows, i) for i in range(flows.shape[0])]
         if last and not tailState["flowNone"]:
             # no flow exists past the final frame (videoSR.py:411-414)
             out.append(None)
@@ -502,7 +567,7 @@ def doVSR(func, node, opt: VSROpt):
     fwdState = {"first": True}
 
     def calcFlowForward(pairs, last=None):
-        out = []
+        out: List = []
         if fwdState["first"]:
             out.append(None)
             pairs = pairs[1:]
@@ -510,7 +575,7 @@ def doVSR(func, node, opt: VSROpt):
         if pairs.shape[0]:
             rev = pairs[:, ::-1]
             flows = spyJit(opt.params, rev.astype(opt.dtype))
-            out.extend(flows[i] for i in range(flows.shape[0]))
+            out.extend((flows, i) for i in range(flows.shape[0]))
         return out
 
     def calcBackward(inp, flowInp, keyframeFeat, last=None):
@@ -527,10 +592,7 @@ def doVSR(func, node, opt: VSROpt):
         # 6x36 ms of padded compute per clip (one extra cached compile
         # per distinct tail length)
         T = min(n, BackwardChunk)
-        flows = [
-            f if f is not None else jnp.zeros((h, w, 2), jnp.float32)
-            for f in flowInp[:n]
-        ] + [jnp.zeros((h, w, 2), jnp.float32)] * (T - n)
+        flowStack = _stackRuns(flowInp, n, T, (h, w, 2))
         kfStack, kfIdx, kfMask = _packOptional(
             keyframeFeat, n, T, (h, w, NumFeat), opt.dtype
         )
@@ -543,14 +605,14 @@ def doVSR(func, node, opt: VSROpt):
         outs = bScanJit(
             opt.params,
             _padBatch(inp, T, opt.dtype),
-            jnp.stack([f.astype(jnp.float32) for f in flows]),
+            flowStack,
             kfStack,
             kfIdx,
             kfMask,
             jnp.asarray(warpM),
             jnp.asarray(validM),
         )
-        out = [outs[i] for i in range(n)]
+        out = [(outs, i) for i in range(n)]
         if last and not tailState["backPad"]:
             # 2 empties so the tail windows fill (videoSR.py:420-421)
             out.extend([None, None])
@@ -566,10 +628,7 @@ def doVSR(func, node, opt: VSROpt):
         featProp = forwardState["featProp"]
         if featProp is None:
             featProp = jnp.zeros((1, h, w, NumFeat), opt.dtype)
-        flows = [
-            f if f is not None else jnp.zeros((h, w, 2), jnp.float32)
-            for f in flowInp[:n]
-        ] + [jnp.zeros((h, w, 2), jnp.float32)] * (T - n)
+        flowStack = _stackRuns(flowInp, n, T, (h, w, 2))
         flowM = np.zeros(T, bool)
         flowM[:n] = [f is not None for f in flowInp[:n]]
         kfStack, kfIdx, kfMask = _packOptional(
@@ -577,13 +636,15 @@ def doVSR(func, node, opt: VSROpt):
         )
         validM = np.zeros(T, bool)
         validM[:n] = True
-        bwd = jnp.stack([b[0] for b in backward[:n]])
+        bwd = _stackRuns(
+            [b[0] for b in backward[:n]], n, T, (h, w, NumFeat), opt.dtype
+        )
         outs, featProp = fScanJit(
             opt.params,
             featProp,
             _padBatch(inp, T, opt.dtype),
-            _padBatch(bwd, T, opt.dtype),
-            jnp.stack([f.astype(jnp.float32) for f in flows]),
+            bwd,
+            flowStack,
             kfStack,
             kfIdx,
             jnp.asarray(flowM),
@@ -591,16 +652,13 @@ def doVSR(func, node, opt: VSROpt):
             jnp.asarray(validM),
         )
         forwardState["featProp"] = featProp
-        return [outs[i] for i in range(n)]
+        return [(outs, i) for i in range(n)]
 
     def doUpsample(inp, forward, last=None):
         n = inp.shape[0]
-        T = n  # tail-exact (see calcBackward)
-        out = upJit(
-            opt.params,
-            _padBatch(inp, T, opt.dtype),
-            _padBatch(forward, T, opt.dtype),
-        )
+        h, w = inp.shape[1], inp.shape[2]
+        feat = _stackRuns(forward, n, n, (h, w, NumFeat), opt.dtype)
+        out = upJit(opt.params, inp.astype(opt.dtype), feat)
         return [out[i].astype(jnp.float32) for i in range(n)]
 
     listB = lambda x: x
@@ -621,7 +679,7 @@ def doVSR(func, node, opt: VSROpt):
     flowBackward = Stream(tensor=False, batchFunc=listB, name="flowB")
     backward = Stream(3, tensor=False, batchFunc=listB, name="backward")
     flowForward = Stream(tensor=False, batchFunc=listB, name="flowF")
-    forward = Stream(name="forward")
+    forward = Stream(tensor=False, batchFunc=listB, name="forward")
     upsampleS = Stream(store=False, name="up")
     upsampleS.sink = sinkList
 
@@ -639,7 +697,10 @@ def doVSR(func, node, opt: VSROpt):
     graph.tee(keyframeFeatureS, [keyframeFeature1, keyframeFeature2])
     graph.stage(
         nodes[1].bindFunc(calcFlowBackward), [flowBackwardInp], [flowBackward],
-        size=10, flushOnce=True,  # batch SpyNet pairs (ref schedules 1 at a time)
+        # batch SpyNet pairs (ref schedules 1 at a time); 20 aligns the
+        # flow chunk with BackwardChunk so _stackRuns hits its 1-slice
+        # fast path, and spy B=20 is sub-linear (12 ms/pair vs 17 at 10)
+        size=BackwardChunk, flushOnce=True,
     )
     graph.stage(
         nodes[2].bindFunc(calcBackward),
@@ -648,7 +709,10 @@ def doVSR(func, node, opt: VSROpt):
         size=BackwardChunk,
         flushOnce=True,
     )
-    graph.stage(nodes[3].bindFunc(calcFlowForward), [flowForwardInp], [flowForward], size=10)
+    graph.stage(
+        nodes[3].bindFunc(calcFlowForward), [flowForwardInp], [flowForward],
+        size=ForwardChunk,
+    )
     graph.stage(
         nodes[4].bindFunc(calcForward),
         [inp1, flowForward, keyframeFeature2, backward],

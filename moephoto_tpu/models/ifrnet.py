@@ -17,7 +17,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from moephoto_tpu.config import config
-from moephoto_tpu.engine.stream import InfiniteSource, Stream, StreamGraph
+from moephoto_tpu.engine.stream import (
+    InfiniteSource, RowRef, Stream, StreamGraph, stackBatch,
+)
 from moephoto_tpu.models.api import (
     Params,
     conv2d,
@@ -321,10 +323,17 @@ class EmbtState(InfiniteSource):
         return res
 
 
+def _pyrLvl0(item) -> jnp.ndarray:
+    """Level-0 feature map of a (pyramid, i) reference item."""
+    pyr, i = item
+    return pyr[0][i]
+
+
 class Deduper:
     """Cosine-similarity frame dedupe / scene-cut detection
     (IFRNet.py:227-266).  State items are 5-tuples
-    (features, embt, frame, frameN, mean)."""
+    (features, embt, frame, frameN, mean); features is a (pyramid, i)
+    reference item (see ``encode``)."""
 
     NullOutput = None
 
@@ -357,14 +366,16 @@ class Deduper:
         if self.state is None:
             self.state = newState
             return None
+        lv0Prev = _pyrLvl0(self.state[0])
+        lv0New = _pyrLvl0(feats)
         simNum = float(
             jnp.vdot(
-                self.state[0][0].astype(jnp.float32).ravel(),
-                feats[0].astype(jnp.float32).ravel(),
+                lv0Prev.astype(jnp.float32).ravel(),
+                lv0New.astype(jnp.float32).ravel(),
             )
         )
-        n1 = float(jnp.linalg.norm(self.state[0][0].astype(jnp.float32).ravel()))
-        n2 = float(jnp.linalg.norm(feats[0].astype(jnp.float32).ravel()))
+        n1 = float(jnp.linalg.norm(lv0Prev.astype(jnp.float32).ravel()))
+        n2 = float(jnp.linalg.norm(lv0New.astype(jnp.float32).ravel()))
         sim = simNum / max(n1 * n2, 1e-12)
         if sim > self.high:  # duplicate: fold this frame into the gap
             self._concat(embt)
@@ -517,10 +528,14 @@ def doSlomo(func, node, opt: IFRNetOpt):
     decBJit = _decoderBatchJit(tuple(opt.chs), opt.side, opt.ensemble)
 
     def encode(frames, last=None):
-        # frames: (r, H, W, 3) (the tensor stream stacks the chunk)
+        # frames: (r, H, W, 3) (the tensor stream stacks the chunk).
+        # Items are (pyramid, i) REFERENCES into the chunk's 4 level
+        # arrays — per-frame pyramid slicing cost 4*r eager tunnel RPCs
+        # per chunk; decode re-merges contiguous runs into single slices
+        # (docs/PERF.md round 3 lazy-rows).
         feats = encJit(opt.params, frames.astype(opt.dtype))
         r = frames.shape[0]
-        return [[lv[i] for lv in feats] for i in range(r)]
+        return [(feats, i) for i in range(r)]
 
     def calcMean(frames, last=None):
         return meanJit(frames)  # (r, 1, 1, 1); put() re-splits rows
@@ -528,21 +543,30 @@ def doSlomo(func, node, opt: IFRNetOpt):
     def normalize(frames, means, last=None):
         return normJit(frames, means)
 
-    def levelsBatch(x):
-        """Stack per-frame feature lists level-wise; idempotent across
-        the window pop's two batchFunc applications."""
-        return [jnp.stack([s[j] for s in x]) for j in range(4)]
+    def pairLevels(wins):
+        """4 levels of (r, 2, h, w, c) from r windows of (pyramid, i)
+        reference items: per level, the left/right columns are
+        run-merged slices (aligned chunks: 1-2 device ops each) and ONE
+        axis-1 stack pairs them — vs 4*r slices + r+1 stacks eagerly."""
+        out = []
+        for l in range(4):
+            cols = [
+                stackBatch([RowRef(w[s][0][l], w[s][1]) for w in wins])
+                for s in (0, 1)
+            ]
+            out.append(jnp.stack(cols, axis=1))
+        return out
 
-    def decode(featPairs, embts, last=None):
-        # featPairs: 4 levels (r, 2, h, w, c); embts: r embt tuples.
-        # Uniform-k chunks (every integer sf) run as ONE batched
-        # dispatch; mixed-k (fractional sf / dedupe residue) and k=0
-        # items fall back to per-pair calls — exact same math.
+    def decode(featWins, embts, last=None):
+        # featWins: r windows [(pyrL, iL), (pyrR, iR)]; embts: r embt
+        # tuples.  Uniform-k chunks (every integer sf) run as ONE
+        # batched dispatch; mixed-k (fractional sf / dedupe residue) and
+        # k=0 items fall back to per-pair calls — exact same math.
         ks = [len(e[0]) for e in embts]
         r = len(embts)
         if r and ks[0] > 0 and all(k == ks[0] for k in ks):
             t = jnp.asarray(np.stack([e[0] for e in embts])).astype(opt.dtype)
-            out = decBJit(opt.params, featPairs, t)  # (r, k, h, w, 8)
+            out = decBJit(opt.params, pairLevels(featWins), t)  # (r, k, h, w, 8)
             return [(embts[i], out, i) for i in range(r)]
         res = []
         for i in range(r):
@@ -550,7 +574,10 @@ def doSlomo(func, node, opt: IFRNetOpt):
             if len(embt[0]) == 0:
                 res.append((embt, None, 0))
                 continue
-            feat = [lv[i] for lv in featPairs]
+            (pyrL, iL), (pyrR, iR) = featWins[i]
+            feat = [
+                jnp.stack([pyrL[l][iL], pyrR[l][iR]]) for l in range(4)
+            ]
             out = decJit(
                 opt.params, feat, jnp.asarray(embt[0]).astype(opt.dtype)
             )
@@ -607,7 +634,7 @@ def doSlomo(func, node, opt: IFRNetOpt):
     meanPair = Stream(2, name="meanPair")
     inpN0 = Stream(name="inpN0")
     pairN = Stream(2, name="pairN")
-    pairFeat = Stream(2, tensor=False, batchFunc=levelsBatch, name="featPair")
+    pairFeat = Stream(2, tensor=False, batchFunc=listBatch, name="featPair")
     decodeS = Stream(tensor=False, batchFunc=listBatch, name="decode")
     outS = Stream(store=False, name="pred")
     outS.sink = sinkList

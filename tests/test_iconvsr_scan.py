@@ -241,3 +241,46 @@ def test_edvr_batched_pcd_exact():
         )
     finally:
         setPrecision(prev)
+
+
+def test_stack_runs_merges_refs_and_fills():
+    """_stackRuns must reproduce the naive per-item stack for every mix
+    of (ref, idx) items, Nones, cross-array runs, reversed order, and
+    tail padding (it feeds the scan programs, so a slicing bug would
+    silently corrupt frames)."""
+    from moephoto_tpu.models.iconvsr import _stackRuns
+
+    rng = np.random.RandomState(7)
+    a = jnp.asarray(rng.rand(6, 4, 5, 2).astype(np.float32))
+    b = jnp.asarray(rng.rand(3, 4, 5, 2).astype(np.float32))
+
+    def naive(items, n, T):
+        rows = []
+        for it in items[:n]:
+            rows.append(
+                np.zeros((4, 5, 2), np.float32)
+                if it is None
+                else np.asarray(it[0][it[1]], np.float32)
+            )
+        rows += [np.zeros((4, 5, 2), np.float32)] * (T - n)
+        return np.stack(rows)
+
+    cases = [
+        # aligned single-run fast path (must return `a` itself)
+        ([(a, i) for i in range(6)], 6, 6),
+        # run + None gap + second array + tail pad
+        ([(a, 0), (a, 1), None, (b, 0), (b, 1)], 5, 8),
+        # non-contiguous indices break runs; reversed order
+        ([(a, 3), (a, 1), (a, 2), None, (b, 2)], 5, 5),
+        # leading None, partial n < len(items)
+        ([None, (b, 1), (a, 5), (a, 0)], 3, 4),
+    ]
+    for items, n, T in cases:
+        got = _stackRuns(items, n, T, (4, 5, 2))
+        assert got.shape == (T, 4, 5, 2)
+        np.testing.assert_array_equal(np.asarray(got), naive(items, n, T))
+    # identity fast path keeps the original array (no copy dispatch)
+    assert _stackRuns([(a, i) for i in range(6)], 6, 6, (4, 5, 2)) is a
+    # dtype conversion applies when requested
+    got16 = _stackRuns([(a, 0), None], 1, 2, (4, 5, 2), jnp.bfloat16)
+    assert got16.dtype == jnp.bfloat16
