@@ -172,6 +172,10 @@ def benchDetail():
         ("video_ESTRNN_720p", _benchESTRNN),
         ("video_IFRNet_slomo2x_720p", _benchIFRNet),
         ("video_IconVSR_4x_360p", _benchIconVSR),
+        # steady-state length: the reference's full [20, 20, tail]
+        # backward-chunk schedule (the 14-frame row keeps round-1/2
+        # comparability; real clips amortize per-clip boundary work)
+        ("video_IconVSR_4x_360p_45f", lambda: _benchIconVSR(n=45)),
     ):
         try:
             r = fn()

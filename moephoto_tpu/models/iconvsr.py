@@ -659,6 +659,10 @@ def doVSR(func, node, opt: VSROpt):
         h, w = inp.shape[1], inp.shape[2]
         feat = _stackRuns(forward, n, n, (h, w, NumFeat), opt.dtype)
         out = upJit(opt.params, inp.astype(opt.dtype), feat)
+        oh, ow = getattr(opt, "outHW", (None, None))
+        if oh:  # crop the 64-align pad ONCE for the whole chunk; the
+            # per-frame opt.unpad then full-extent-slices (free alias)
+            out = out[:, :oh, :ow]
         return [out[i].astype(jnp.float32) for i in range(n)]
 
     listB = lambda x: x
@@ -727,6 +731,7 @@ def doVSR(func, node, opt: VSROpt):
         o.padF, o.unpadF, size = alignPad(x, 64)
         o.pad = lambda f: o.padF(f)
         h, w_ = x.shape[0], x.shape[1]
+        o.outHW = (h * 4, w_ * 4)  # doUpsample batch-crops to this
         o.unpad = lambda f: f[: h * 4, : w_ * 4]
         return size
 
