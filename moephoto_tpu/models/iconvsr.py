@@ -399,13 +399,69 @@ def _forwardScan(
     return outs, fpOut
 
 
+# --- fused chunk programs ---------------------------------------------------
+# SpyNet runs INSIDE the scan programs (batched over the chunk's pairs,
+# not per scan step) and upsample inside the forward program: one
+# param-marshal dispatch per chunk per direction instead of separate
+# flow/scan/upsample stages (each dispatch costs ~26-31 ms through the
+# tunnel, docs/PERF.md round 3).  Masked positions carry zero pairs;
+# their junk flows are discarded by the scan's warp/flow masks exactly
+# like the zero flows they replace (SpyNet is per-sample independent,
+# so real pairs' flows are bit-identical to the separate-stage path).
+
+
+def _backwardScanPairs(
+    params, inp, pairs, kfStack, kfIdx, kfMask, warpMask, validMask
+):
+    """pairs (T, 2, H, W, 3) model dtype -> flows in-program."""
+    flows = spynetApply(params, pairs).astype(jnp.float32)
+    return _backwardScan(
+        params, inp, flows, kfStack, kfIdx, kfMask, warpMask, validMask
+    )
+
+
+def _forwardScanPairsUp(
+    params, featProp, inp, bwd, pairs, kfStack, kfIdx, flowMask, kfMask,
+    validMask,
+):
+    """Forward flows (reversed pairs) + recurrence + upsample head in ONE
+    program; returns (upsampled (T, 4H, 4W, 3) f32, featProp carry)."""
+    flows = spynetApply(params, pairs[:, ::-1]).astype(jnp.float32)
+    outs, fpOut = _forwardScan(
+        params, featProp, inp, bwd, flows, kfStack, kfIdx, flowMask,
+        kfMask, validMask,
+    )
+    return _upsampleChunk(params, inp, outs), fpOut
+
+
 # stage jits at module level: compiled executables are shared across
 # graph instances, so rebuilding the pipeline per video task (worker
 # behavior) costs no re-trace/re-compile for repeated shapes.
 # stageJit == plain jax.jit single-device; with config.meshShape set the
 # stages run row-sharded over the mesh (parallel/temporal.py) — GSPMD
 # inserts the conv halos, so the math (and output) is unchanged.
-edvrJit = stageJit(edvrApply, (None, 2))  # x (B, N, H, W, 3)
+# EDVR chunk: ONE dispatch for all of a span's keyframes, lax.map over
+# B=2 slabs (PCD holds ~2.2 GB/clip of L1 activations — a flat batch
+# would blow HBM; map keeps one slab live) + an exact remainder slab.
+# lax.map is a scan, so the DCN bound-tier lax.cond stays a real branch
+# per slab (vmap would flatten it to execute-all-tiers, PERF.md round 3)
+EdvrSubBatch = 2
+
+
+def _edvrChunk(p, x):
+    B = x.shape[0]
+    n2 = (B // EdvrSubBatch) * EdvrSubBatch
+    outs = []
+    if n2:
+        sub = x[:n2].reshape((-1, EdvrSubBatch) + x.shape[1:])
+        o = jax.lax.map(lambda t: edvrApply(p, t), sub)
+        outs.append(o.reshape((-1,) + o.shape[2:]))
+    if B > n2:
+        outs.append(edvrApply(p, x[n2:]))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
+
+edvrJit = stageJit(_edvrChunk, (None, 2))  # x (B, N, H, W, 3)
 spyJit = stageJit(spynetApply, (None, 2))  # pair (B, 2, H, W, 3)
 bScanJit = stageJit(
     _backwardScan,  # (params, inp(T,H..), flow(T,H..), kfStack(K,H..), idx/masks)
@@ -414,6 +470,16 @@ bScanJit = stageJit(
 fScanJit = stageJit(
     _forwardScan,  # (params, featProp(1,H..), inp, bwd, flow, kfStack, idx/masks)
     (None, 1, 1, 1, 1, 1, None, None, None, None),
+)
+# fused chunk programs (the production pipeline path; the split jits
+# above remain the unit-tested building blocks)
+bScanPairsJit = stageJit(
+    _backwardScanPairs,  # (params, inp(T,H..), pairs(T,2,H..), kfStack, idx/masks)
+    (None, 1, 2, 1, None, None, None, None),
+)
+fScanPairsUpJit = stageJit(
+    _forwardScanPairsUp,  # (params, featProp, inp, bwd, pairs, kfStack, idx/masks)
+    (None, 1, 1, 1, 2, 1, None, None, None, None),
 )
 # upsample sub-batch: lax.map over B=4 slabs keeps only ~4.8 GB of
 # 4x-res intermediates live at a time (a flat (20, ...) batched body
@@ -446,13 +512,12 @@ def _upsampleChunk(p, inp, feat):
 upJit = stageJit(_upsampleChunk, (None, 1, 1))  # inp/feat (B, H, W, C)
 
 # dispatch granularity only — the forward scan THREADS its carry across
-# chunks and upsample is lax.map'ed per sub-batch, so outputs are
-# bit-equal for any size (unlike BackwardChunk, which is semantic: fresh
-# state per chunk, parity-pinned to the reference's [20, 20, tail]
-# schedule).  Each dispatch costs ~31 ms through the tunnel; 20-frame
-# chunks cut the per-clip dispatch count (docs/PERF.md rounds 2-3).
+# chunks (and upsamples in the same program), so outputs are bit-equal
+# for any size (unlike BackwardChunk, which is semantic: fresh state per
+# chunk, parity-pinned to the reference's [20, 20, tail] schedule).
+# Each dispatch costs ~31 ms through the tunnel; 20-frame chunks cut the
+# per-clip dispatch count (docs/PERF.md rounds 2-3).
 ForwardChunk = 20
-UpsampleChunk = 20
 
 
 def _packOptional(items, n, T, shape, dtype):
@@ -553,11 +618,11 @@ def doVSR(func, node, opt: VSROpt):
     tailState = {"flowNone": False, "backPad": False}
 
     def calcFlowBackward(pairs, last=None):
-        # items are (batchRef, idx) — consumers restack via _stackRuns
+        # pure item bookkeeping — SpyNet runs inside the backward scan
+        # program (bScanPairsJit); items are (batchRef, idx) pair refs
         out: List = []
         if pairs is not None:
-            flows = spyJit(opt.params, pairs.astype(opt.dtype))  # (b, H, W, 2)
-            out = [(flows, i) for i in range(flows.shape[0])]
+            out = [(pairs, i) for i in range(pairs.shape[0])]
         if last and not tailState["flowNone"]:
             # no flow exists past the final frame (videoSR.py:411-414)
             out.append(None)
@@ -567,15 +632,15 @@ def doVSR(func, node, opt: VSROpt):
     fwdState = {"first": True}
 
     def calcFlowForward(pairs, last=None):
+        # pure item bookkeeping — SpyNet runs (on reversed pairs) inside
+        # the forward scan program (fScanPairsUpJit)
         out: List = []
+        start = 0
         if fwdState["first"]:
             out.append(None)
-            pairs = pairs[1:]
+            start = 1
             fwdState["first"] = False
-        if pairs.shape[0]:
-            rev = pairs[:, ::-1]
-            flows = spyJit(opt.params, rev.astype(opt.dtype))
-            out.extend((flows, i) for i in range(flows.shape[0]))
+        out.extend((pairs, i) for i in range(start, pairs.shape[0]))
         return out
 
     def calcBackward(inp, flowInp, keyframeFeat, last=None):
@@ -592,7 +657,7 @@ def doVSR(func, node, opt: VSROpt):
         # 6x36 ms of padded compute per clip (one extra cached compile
         # per distinct tail length)
         T = min(n, BackwardChunk)
-        flowStack = _stackRuns(flowInp, n, T, (h, w, 2))
+        pairStack = _stackRuns(flowInp, n, T, (2, h, w, 3), opt.dtype)
         kfStack, kfIdx, kfMask = _packOptional(
             keyframeFeat, n, T, (h, w, NumFeat), opt.dtype
         )
@@ -602,10 +667,10 @@ def doVSR(func, node, opt: VSROpt):
             warpM[n - 1] = False  # no flow past the final frame
         validM = np.zeros(T, bool)
         validM[:n] = True
-        outs = bScanJit(
+        outs = bScanPairsJit(
             opt.params,
             _padBatch(inp, T, opt.dtype),
-            flowStack,
+            pairStack,
             kfStack,
             kfIdx,
             kfMask,
@@ -622,13 +687,15 @@ def doVSR(func, node, opt: VSROpt):
     forwardState = {"featProp": None}
 
     def calcForward(inp, flowInp, keyframeFeat, backward, last=None):
+        # forward recurrence + upsample head in ONE dispatch; emits the
+        # final full-res frames straight to the sink
         n = inp.shape[0]
         h, w = inp.shape[1], inp.shape[2]
         T = n  # tail-exact (see calcBackward)
         featProp = forwardState["featProp"]
         if featProp is None:
             featProp = jnp.zeros((1, h, w, NumFeat), opt.dtype)
-        flowStack = _stackRuns(flowInp, n, T, (h, w, 2))
+        pairStack = _stackRuns(flowInp, n, T, (2, h, w, 3), opt.dtype)
         flowM = np.zeros(T, bool)
         flowM[:n] = [f is not None for f in flowInp[:n]]
         kfStack, kfIdx, kfMask = _packOptional(
@@ -639,12 +706,12 @@ def doVSR(func, node, opt: VSROpt):
         bwd = _stackRuns(
             [b[0] for b in backward[:n]], n, T, (h, w, NumFeat), opt.dtype
         )
-        outs, featProp = fScanJit(
+        out, featProp = fScanPairsUpJit(
             opt.params,
             featProp,
             _padBatch(inp, T, opt.dtype),
             bwd,
-            flowStack,
+            pairStack,
             kfStack,
             kfIdx,
             jnp.asarray(flowM),
@@ -652,13 +719,6 @@ def doVSR(func, node, opt: VSROpt):
             jnp.asarray(validM),
         )
         forwardState["featProp"] = featProp
-        return [(outs, i) for i in range(n)]
-
-    def doUpsample(inp, forward, last=None):
-        n = inp.shape[0]
-        h, w = inp.shape[1], inp.shape[2]
-        feat = _stackRuns(forward, n, n, (h, w, NumFeat), opt.dtype)
-        out = upJit(opt.params, inp.astype(opt.dtype), feat)
         oh, ow = getattr(opt, "outHW", (None, None))
         if oh:  # crop the 64-align pad ONCE for the whole chunk; the
             # per-frame opt.unpad then full-extent-slices (free alias)
@@ -668,7 +728,6 @@ def doVSR(func, node, opt: VSROpt):
     listB = lambda x: x
     inp = Stream(name="inp")
     inp1 = Stream(name="inp1")
-    inp2 = Stream(name="inp2")
     backwardInp = Stream(name="backwardInp")
     flowInp = Stream(2, name="flowInp")
     flowForwardInp = Stream(name="flowForwardInp").setPadding(1)
@@ -683,20 +742,20 @@ def doVSR(func, node, opt: VSROpt):
     flowBackward = Stream(tensor=False, batchFunc=listB, name="flowB")
     backward = Stream(3, tensor=False, batchFunc=listB, name="backward")
     flowForward = Stream(tensor=False, batchFunc=listB, name="flowF")
-    forward = Stream(tensor=False, batchFunc=listB, name="forward")
     upsampleS = Stream(store=False, name="up")
     upsampleS.sink = sinkList
 
-    graph.tee(inp, [inp1, inp2, flowInp, backwardInp])
+    graph.tee(inp, [inp1, flowInp, backwardInp])
     graph.tee(flowInp, [flowForwardInp, flowBackwardInp])
     graph.stage(
         nodes[0].bindFunc(kfStage),
         [keyframeFeatureInp, isKeyFrame],
         [keyframeFeatureS],
         # pop 10 windows per advance: at the reference's keyframe cadence
-        # of 5 that batches 2 EDVR clips per dispatch (B=2 keeps PCD's
-        # ~2.2 GB/clip of L1 activations inside HBM headroom)
-        size=10,
+        # of 5 that gathers 4 EDVR clips into ONE dispatch (the program
+        # lax.maps over B=2 slabs — PCD's ~2.2 GB/clip of L1 activations
+        # caps the live batch)
+        size=BackwardChunk,
     )
     graph.tee(keyframeFeatureS, [keyframeFeature1, keyframeFeature2])
     graph.stage(
@@ -720,18 +779,15 @@ def doVSR(func, node, opt: VSROpt):
     graph.stage(
         nodes[4].bindFunc(calcForward),
         [inp1, flowForward, keyframeFeature2, backward],
-        [forward],
+        [upsampleS],
         size=ForwardChunk,
-    )
-    graph.stage(
-        nodes[5].bindFunc(doUpsample), [inp2, forward], [upsampleS], size=UpsampleChunk
     )
 
     def initFunc(o, x):
         o.padF, o.unpadF, size = alignPad(x, 64)
         o.pad = lambda f: o.padF(f)
         h, w_ = x.shape[0], x.shape[1]
-        o.outHW = (h * 4, w_ * 4)  # doUpsample batch-crops to this
+        o.outHW = (h * 4, w_ * 4)  # calcForward batch-crops to this
         o.unpad = lambda f: f[: h * 4, : w_ * 4]
         return size
 

@@ -220,6 +220,8 @@ def test_mesh_temporal_iconvsr_row_sharded_exact():
 
     oldShape, oldBackend = config.meshShape, getattr(config, "meshBackend", "")
 
+    pairs = jnp.asarray(rng.rand(T, 2, H, W, 3).astype(np.float32))
+
     def runAll():
         b = np.asarray(
             V.bScanJit(params, inp, flow, kfStack, kfIdx, kfMask, warpMask, validMask)
@@ -230,7 +232,17 @@ def test_mesh_temporal_iconvsr_row_sharded_exact():
         )
         s = np.asarray(V.spyJit(params, pair))
         u = np.asarray(V.upJit(params, inp[:2], upFeat))
-        return b, np.asarray(f), np.asarray(fp), s, u
+        # fused production programs (SpyNet + scan [+ upsample] in one jit)
+        bp = np.asarray(
+            V.bScanPairsJit(
+                params, inp, pairs, kfStack, kfIdx, kfMask, warpMask, validMask
+            )
+        )
+        fu, fup = V.fScanPairsUpJit(
+            params, featProp, inp, jnp.asarray(b), pairs, kfStack, kfIdx,
+            warpMask, kfMask, validMask,
+        )
+        return b, np.asarray(f), np.asarray(fp), s, u, bp, np.asarray(fu), np.asarray(fup)
 
     try:
         _withCpuMesh([])
@@ -251,7 +263,10 @@ def test_mesh_temporal_iconvsr_row_sharded_exact():
         meshMod._activeMesh[:] = [None, None]
         tempMod._videoMesh[:] = [None, None]
 
-    names = ("backward", "forward", "forwardCarry", "spynet", "upsample")
+    names = (
+        "backward", "forward", "forwardCarry", "spynet", "upsample",
+        "backwardPairs", "forwardPairsUp", "forwardPairsUpCarry",
+    )
     for nm, a, b in zip(names, single, multi):
         np.testing.assert_allclose(b, a, atol=2e-5, rtol=1e-5, err_msg=nm)
     for nm, a, b in zip(names, single, multi24):
