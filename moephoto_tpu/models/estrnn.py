@@ -174,6 +174,29 @@ def cellScanApply(params: Params, frames: jnp.ndarray, hidden: jnp.ndarray):
     return hs, hidden
 
 
+def cellScanPoolApply(params: Params, frames: jnp.ndarray, hidden: jnp.ndarray):
+    """Recurrence + the GSA pooling weights in ONE program (the separate
+    pooling stage cost a ~26 ms param-marshal dispatch per chunk for a
+    (r, c) mean)."""
+    hs, hidden = cellScanApply(params, frames, hidden)
+    w = jnp.mean(hs.astype(jnp.float32), axis=(1, 2)).astype(hs.dtype)
+    return hs, w, hidden
+
+
+def gsaReconsApply(params: Params, hsB: jnp.ndarray, wB: jnp.ndarray):
+    """GSA fusion + reconstructor in ONE program, including the
+    reference's doCrop path (ESTRNN.py:223: align=32 reflect pad, output
+    cropped); no clamp — the reference clamps only at bit-depth
+    conversion."""
+    x = gsaApply(params, hsB, wB)
+    b, h, w, c = x.shape
+    H = -(-h // 32) * 32
+    W = -(-w // 32) * 32
+    if (H, W) != (h, w):
+        x = jnp.pad(x, ((0, 0), (0, H - h), (0, W - w), (0, 0)), mode="reflect")
+    return reconsApply(params, x)[:, : h * 4, : w * 4].astype(jnp.float32)
+
+
 # module-level stage jits: executables persist across graph instances,
 # so per-task pipeline rebuilds don't re-trace/re-compile known shapes
 # stageJit == plain jax.jit single-device; with config.meshShape set the
@@ -182,6 +205,8 @@ cellJit = stageJit(cellApply, (None, 1, 1))  # x/hidden (b, h, w, c)
 cellScanJit = stageJit(cellScanApply, (None, 1, 1))  # frames (T, H, W, 3)
 gsaJit = stageJit(gsaApply, (None, 2, None))  # hs (b, 5, h, w, c)
 reconsJit = stageJit(reconsApply, (None, 1))
+cellScanPoolJit = stageJit(cellScanPoolApply, (None, 1, 1))
+gsaReconsJit = stageJit(gsaReconsApply, (None, 2, None))
 
 # frames per stage dispatch: the recurrence runs as scan chunks and the
 # batch stages (pooling/GSA/recons) pop up to this many items at once.
@@ -197,53 +222,38 @@ def doESTRNN(func, node, opt: ESTRNNOpt):
 
     hiddenBox = {"h": None}
 
+    w = Stream(RefTime, reserve=1, name="w")
+
     def calcForward(x, last=None):
         # x: list of up to ``Chunk`` (H, W, 3) frames; the whole chunk
-        # runs as one scan program (cellScanApply) with the hidden carry
-        # threaded across chunks — identical math to per-frame calls
+        # runs as one scan program (cellScanPoolApply) with the hidden
+        # carry threaded across chunks — identical math to per-frame
+        # calls.  The GSA pooling weights come out of the same dispatch
+        # and go straight to the ``w`` stream (put here, not via a
+        # second stage — a stage broadcasts ONE output to all outs).
         frames = jnp.stack(x).astype(opt.dtype)
         if hiddenBox["h"] is None:
             H, W = frames.shape[1] >> DS_ratio, frames.shape[2] >> DS_ratio
             hiddenBox["h"] = jnp.zeros((1, H, W, NumFeat), opt.dtype)
-        hs, hiddenBox["h"] = cellScanJit(opt.params, frames, hiddenBox["h"])
+        hs, wArr, hiddenBox["h"] = cellScanPoolJit(
+            opt.params, frames, hiddenBox["h"]
+        )
+        w.put(wArr)
         return hs  # (r, h, w, c) -> r items
 
-    def pooling(hs, last=None):
-        # hs: list of (h, w, c) items
-        v = jnp.stack(hs)  # (r, h, w, c)
-        return jnp.mean(v.astype(jnp.float32), axis=(1, 2)).astype(v.dtype)
-
     def fusionStage(hsB, wB, last=None):
-        # hsB: (r, 5, h, w, c); wB: (r, 5, c)
-        return gsaJit(opt.params, hsB, wB)
-
-    def reconsStage(fusionB, last=None):
-        # match the reference's doCrop path for the reconstructor
-        # (ESTRNN.py:223: align=32 reflect padding, output cropped); no
-        # clamp — the reference clamps only at bit-depth conversion
-        x = jnp.stack(fusionB)
-        b, h, w, c = x.shape
-        H = -(-h // 32) * 32
-        W = -(-w // 32) * 32
-        if (H, W) != (h, w):
-            x = jnp.pad(x, ((0, 0), (0, H - h), (0, W - w), (0, 0)), mode="reflect")
-        out = reconsJit(opt.params, x)[:, : h * 4, : w * 4]
-        return [o.astype(jnp.float32) for o in out]
+        # hsB: (r, 5, h, w, c); wB: (r, 5, c) -> final frames (one
+        # GSA+recons dispatch; sink slices per frame)
+        out = gsaReconsJit(opt.params, hsB, wB)
+        return [out[i] for i in range(out.shape[0])]
 
     inp = Stream(name="inp")
-    forward = Stream(name="forward")
     hs = Stream(RefTime, reserve=1, name="hs")
-    inpW = Stream(name="inpW")
-    w = Stream(RefTime, reserve=1, name="w")
-    fusion = Stream(name="fusion")
     outS = Stream(store=False, name="out")
     outS.sink = sinkList
 
-    graph.stage(nodes[0].bindFunc(calcForward), [inp], [forward], size=Chunk)
-    graph.tee(forward, [hs, inpW])
-    graph.stage(nodes[1].bindFunc(pooling), [inpW], [w], size=Chunk)
-    graph.stage(nodes[2].bindFunc(fusionStage), [hs, w], [fusion], size=Chunk)
-    graph.stage(nodes[3].bindFunc(reconsStage), [fusion], [outS], size=Chunk)
+    graph.stage(nodes[0].bindFunc(calcForward), [inp], [hs], size=Chunk)
+    graph.stage(nodes[2].bindFunc(fusionStage), [hs, w], [outS], size=Chunk)
 
     def initFunc(o, x):
         o.padF, o.unpadF, size = alignPad(x, 8)

@@ -497,6 +497,24 @@ meanJit = stageJit(
 normJit = stageJit(lambda f, m: f - m.astype(f.dtype), (1, None))
 
 
+def _encodeFullJit(chs, dtype):
+    """mean + normalize + encoder pyramid in ONE program (the separate
+    mean/normalize stages each cost a ~26 ms dispatch RPC per chunk):
+    frames (r, H, W, 3) f32 -> (means (r,1,1,1) f32, inpN (r,H,W,3) f32,
+    feats 4 levels in model dtype)."""
+    key = ("encFull", chs, str(dtype))
+    if key not in _stageJits:
+
+        def run(p, frames):
+            m = jnp.mean(frames.astype(jnp.float32), axis=(1, 2, 3), keepdims=True)
+            inpN = frames - m.astype(frames.dtype)
+            feats = encoderApply(p, list(chs), inpN.astype(dtype))
+            return m, inpN, feats
+
+        _stageJits[key] = stageJit(run, (None, 1))
+    return _stageJits[key]
+
+
 # frame pairs per stage dispatch (see ``Chunk`` in models/estrnn.py):
 # batching amortizes the ~31 ms/dispatch tunnel RPC; latency-neutral
 # for offline video.  Tail pops compile once per residual size.
@@ -521,27 +539,28 @@ def doSlomo(func, node, opt: IFRNetOpt):
     graph = StreamGraph()
     sinkList: List = []
 
-    encJit = _encoderJit(tuple(opt.chs))
     decJit = _decoderJit(tuple(opt.chs), opt.side, opt.ensemble)
+    encFullJit = _encodeFullJit(tuple(opt.chs), opt.dtype)
 
     listBatch = lambda x: x
     decBJit = _decoderBatchJit(tuple(opt.chs), opt.side, opt.ensemble)
 
-    def encode(frames, last=None):
-        # frames: (r, H, W, 3) (the tensor stream stacks the chunk).
-        # Items are (pyramid, i) REFERENCES into the chunk's 4 level
-        # arrays — per-frame pyramid slicing cost 4*r eager tunnel RPCs
-        # per chunk; decode re-merges contiguous runs into single slices
-        # (docs/PERF.md round 3 lazy-rows).
-        feats = encJit(opt.params, frames.astype(opt.dtype))
-        r = frames.shape[0]
-        return [(feats, i) for i in range(r)]
+    def makeEncode(meanDst, normDst):
+        def encode(frames, last=None):
+            # frames: (r, H, W, 3) f32.  ONE dispatch computes the chunk
+            # means, normalized frames, and encoder pyramid; the mean and
+            # normalized batches go straight to their streams (direct
+            # put — a stage broadcasts one output to all outs), and the
+            # pyramid items are (pyramid, i) REFERENCES into the chunk's
+            # 4 level arrays — decode re-merges contiguous runs into
+            # single slices (docs/PERF.md round 3 lazy-rows).
+            m, inpN, feats = encFullJit(opt.params, frames)
+            meanDst.put(m)
+            normDst.put(inpN)
+            r = frames.shape[0]
+            return [(feats, i) for i in range(r)]
 
-    def calcMean(frames, last=None):
-        return meanJit(frames)  # (r, 1, 1, 1); put() re-splits rows
-
-    def normalize(frames, means, last=None):
-        return normJit(frames, means)
+        return encode
 
     def pairLevels(wins):
         """4 levels of (r, 2, h, w, c) from r windows of (pyramid, i)
@@ -630,9 +649,7 @@ def doSlomo(func, node, opt: IFRNetOpt):
     opt.embt = EmbtState(opt.sf)
     inp = Stream(name="inp")
     pairRaw = Stream(2, name="pairRaw")
-    mean0 = Stream(name="mean0")
     meanPair = Stream(2, name="meanPair")
-    inpN0 = Stream(name="inpN0")
     pairN = Stream(2, name="pairN")
     pairFeat = Stream(2, tensor=False, batchFunc=listBatch, name="featPair")
     decodeS = Stream(tensor=False, batchFunc=listBatch, name="decode")
@@ -640,20 +657,21 @@ def doSlomo(func, node, opt: IFRNetOpt):
     outS.sink = sinkList
 
     if opt.dedupe:
-        inps = [Stream(name=f"inps{i}") for i in range(3)]
+        inps = [Stream(name="inps0"), Stream(name="inps2")]
         graph.tee(inp, inps)
-        means = [mean0, Stream(name="mean1")]
-        graph.stage(calcMean, [inps[0]], means, size=Chunk)
-        inpNs = [inpN0, Stream(name="inpN1")]
-        graph.stage(normalize, [inps[1], means[0]], inpNs, size=Chunk)
+        mean1 = Stream(name="mean1")
+        inpN1 = Stream(name="inpN1")
         ft1 = Stream(tensor=False, batchFunc=listBatch, name="ft1")
-        graph.stage(nodes[0].bindFunc(encode), [inpNs[0]], [ft1], size=Chunk)
+        graph.stage(
+            nodes[0].bindFunc(makeEncode(mean1, inpN1)), [inps[0]], [ft1],
+            size=Chunk,
+        )
         dedupeOut = [
             Stream(tensor=False, batchFunc=listBatch, name=f"dd{i}") for i in range(5)
         ]
         deduper = Deduper(opt.dedupeLow, opt.dedupeHigh)
         graph.stage(
-            deduper, [ft1, opt.embt, inps[2], inpNs[1], means[1]], dedupeOut,
+            deduper, [ft1, opt.embt, inps[1], inpN1, mean1], dedupeOut,
             flushOnce=True,
         )
         extract = lambda n: (
@@ -666,11 +684,12 @@ def doSlomo(func, node, opt: IFRNetOpt):
             graph.stage(extract(i), [dedupeOut[i]], [tgt])
         embSource = emb1
     else:
-        inps = [Stream(name="inps0"), Stream(name="inps1")]
-        graph.tee(inp, inps + [pairRaw])
-        graph.stage(calcMean, [inps[0]], [mean0, meanPair], size=Chunk)
-        graph.stage(normalize, [inps[1], mean0], [inpN0, pairN], size=Chunk)
-        graph.stage(nodes[0].bindFunc(encode), [inpN0], [pairFeat], size=Chunk)
+        inps0 = Stream(name="inps0")
+        graph.tee(inp, [inps0, pairRaw])
+        graph.stage(
+            nodes[0].bindFunc(makeEncode(meanPair, pairN)), [inps0],
+            [pairFeat], size=Chunk,
+        )
         embSource = opt.embt
 
     graph.stage(
