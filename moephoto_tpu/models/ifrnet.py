@@ -497,6 +497,24 @@ meanJit = stageJit(
 normJit = stageJit(lambda f, m: f - m.astype(f.dtype), (1, None))
 
 
+def _decodePostJit(chs, side, ensemble, dtype):
+    """Decoder + postOut for a uniform-k chunk in ONE program (the
+    separate stages each paid a ~26-31 ms param-marshal dispatch):
+    f levels (r, 2, h, w, c), t (r, k) f32, pair/pairN (r, 2, H, W, 3),
+    means (r, 2, 1, 1, 1) -> (r, k, H, W, 3) predictions."""
+    key = ("decPost", chs, side, ensemble, str(dtype))
+    if key not in _stageJits:
+
+        def run(p, f, t, pair, pairN, means):
+            dec = decoderBatchApply(
+                p, list(chs), side, f, t.astype(dtype), ensemble=ensemble
+            )
+            return postOutBatchApply(p, pair, pairN, means, t, dec)
+
+        _stageJits[key] = stageJit(run, (None, 2, None, 2, 2, None))
+    return _stageJits[key]
+
+
 def _encodeFullJit(chs, dtype):
     """mean + normalize + encoder pyramid in ONE program (the separate
     mean/normalize stages each cost a ~26 ms dispatch RPC per chunk):
@@ -541,9 +559,9 @@ def doSlomo(func, node, opt: IFRNetOpt):
 
     decJit = _decoderJit(tuple(opt.chs), opt.side, opt.ensemble)
     encFullJit = _encodeFullJit(tuple(opt.chs), opt.dtype)
+    decPostJit = _decodePostJit(tuple(opt.chs), opt.side, opt.ensemble, opt.dtype)
 
     listBatch = lambda x: x
-    decBJit = _decoderBatchJit(tuple(opt.chs), opt.side, opt.ensemble)
 
     def makeEncode(meanDst, normDst):
         def encode(frames, last=None):
@@ -576,51 +594,20 @@ def doSlomo(func, node, opt: IFRNetOpt):
             out.append(jnp.stack(cols, axis=1))
         return out
 
-    def decode(featWins, embts, last=None):
+    def decodePost(featWins, embts, pairs, pairNs, meanPairs, last=None):
         # featWins: r windows [(pyrL, iL), (pyrR, iR)]; embts: r embt
-        # tuples.  Uniform-k chunks (every integer sf) run as ONE
-        # batched dispatch; mixed-k (fractional sf / dedupe residue) and
-        # k=0 items fall back to per-pair calls — exact same math.
+        # tuples; pairs/pairNs: (r, 2, H, W, 3); meanPairs: (r, 2,
+        # 1, 1, 1).  Uniform-k chunks (every integer sf) run decoder +
+        # postOut as ONE dispatch; mixed-k (fractional sf / dedupe
+        # residue) and k=0 items fall back to per-pair calls — exact
+        # same math.
         ks = [len(e[0]) for e in embts]
         r = len(embts)
-        if r and ks[0] > 0 and all(k == ks[0] for k in ks):
-            t = jnp.asarray(np.stack([e[0] for e in embts])).astype(opt.dtype)
-            out = decBJit(opt.params, pairLevels(featWins), t)  # (r, k, h, w, 8)
-            return [(embts[i], out, i) for i in range(r)]
-        res = []
-        for i in range(r):
-            embt = embts[i]
-            if len(embt[0]) == 0:
-                res.append((embt, None, 0))
-                continue
-            (pyrL, iL), (pyrR, iR) = featWins[i]
-            feat = [
-                jnp.stack([pyrL[l][iL], pyrR[l][iR]]) for l in range(4)
-            ]
-            out = decJit(
-                opt.params, feat, jnp.asarray(embt[0]).astype(opt.dtype)
-            )
-            res.append((embt, out[None], 0))
-        return res
-
-    def post(pairs, pairNs, meanPairs, decodes, last=None):
-        # pairs/pairNs: (r, 2, H, W, 3); meanPairs: (r, 2, 1, 1, 1);
-        # decodes: r items (embt, batchedDecode | None, index)
-        r = len(decodes)
-        embts = [d[0] for d in decodes]
-        ks = [len(e[0]) for e in embts]
         res: List = []
         if r and ks[0] > 0 and all(k == ks[0] for k in ks):
-            first = decodes[0][1]
-            if all(d[1] is first for d in decodes) and [
-                d[2] for d in decodes
-            ] == list(range(r)) and first.shape[0] == r:
-                dec = first  # aligned pop: reuse the batch, no restack
-            else:
-                dec = jnp.stack([d[1][d[2]] for d in decodes])
             t = jnp.asarray(np.stack([e[0] for e in embts]))
-            preds = postBatchJit(
-                opt.params, pairs, pairNs, meanPairs, t, dec
+            preds = decPostJit(
+                opt.params, pairLevels(featWins), t, pairs, pairNs, meanPairs
             )  # (r, k, H, W, 3)
             for i, embt in enumerate(embts):
                 for _ in range(int(embt[1])):
@@ -631,14 +618,21 @@ def doSlomo(func, node, opt: IFRNetOpt):
                     res.append(pairs[i, 1].astype(jnp.float32))
             return res
         for i in range(r):
-            embt, decoded, di = decodes[i]
+            embt = embts[i]
             k = len(embt[0])
             for _ in range(int(embt[1])):  # keep-first copies
                 res.append(pairs[i, 0].astype(jnp.float32))
             if k:
+                (pyrL, iL), (pyrR, iR) = featWins[i]
+                feat = [
+                    jnp.stack([pyrL[l][iL], pyrR[l][iR]]) for l in range(4)
+                ]
+                dec = decJit(
+                    opt.params, feat, jnp.asarray(embt[0]).astype(opt.dtype)
+                )
                 preds = postJit(
                     opt.params, pairs[i], pairNs[i], meanPairs[i],
-                    jnp.asarray(embt[0]), decoded[di],
+                    jnp.asarray(embt[0]), dec,
                 )
                 for j in range(k):
                     res.append(preds[j])
@@ -652,7 +646,6 @@ def doSlomo(func, node, opt: IFRNetOpt):
     meanPair = Stream(2, name="meanPair")
     pairN = Stream(2, name="pairN")
     pairFeat = Stream(2, tensor=False, batchFunc=listBatch, name="featPair")
-    decodeS = Stream(tensor=False, batchFunc=listBatch, name="decode")
     outS = Stream(store=False, name="pred")
     outS.sink = sinkList
 
@@ -693,10 +686,9 @@ def doSlomo(func, node, opt: IFRNetOpt):
         embSource = opt.embt
 
     graph.stage(
-        nodes[1].bindFunc(decode), [pairFeat, embSource], [decodeS], size=Chunk
-    )
-    graph.stage(
-        nodes[2].bindFunc(post), [pairRaw, pairN, meanPair, decodeS], [outS],
+        nodes[1].bindFunc(decodePost),
+        [pairFeat, embSource, pairRaw, pairN, meanPair],
+        [outS],
         size=Chunk,
     )
 
