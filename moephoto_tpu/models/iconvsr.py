@@ -543,6 +543,30 @@ def _padBatch(arr, T, dtype):
     return jnp.concatenate([arr, pad])
 
 
+def _stackPairs(items, n, T, shape, dtype):
+    """(T, 2, *shape) pair batch from window-list items [fA, fB]
+    (None -> zero pair), built column-wise: one stack per side + one
+    dtype cast + one axis-1 stack — per-item slicing/casting would cost
+    an eager tunnel RPC per frame (docs/PERF.md round 3)."""
+    zero = [None]
+    cols = []
+    for s in (0, 1):
+        rows = []
+        for it in items[:n]:
+            if it is None:
+                if zero[0] is None:
+                    zero[0] = jnp.zeros(shape, jnp.float32)
+                rows.append(zero[0])
+            else:
+                rows.append(it[s])
+        if T > n:
+            if zero[0] is None:
+                zero[0] = jnp.zeros(shape, jnp.float32)
+            rows.extend([zero[0]] * (T - n))
+        cols.append(jnp.stack(rows).astype(dtype))
+    return jnp.stack(cols, axis=1)
+
+
 def _stackRuns(items, n, T, shape, dtype=jnp.float32):
     """Stack per-frame stream items back into a (T, *shape) chunk array
     from (ref, idx) reference items (None -> zeros), merging contiguous
@@ -619,10 +643,9 @@ def doVSR(func, node, opt: VSROpt):
 
     def calcFlowBackward(pairs, last=None):
         # pure item bookkeeping — SpyNet runs inside the backward scan
-        # program (bScanPairsJit); items are (batchRef, idx) pair refs
-        out: List = []
-        if pairs is not None:
-            out = [(pairs, i) for i in range(pairs.shape[0])]
+        # program (bScanPairsJit); items are [frameA, frameB] window
+        # lists (zero device ops end to end)
+        out: List = list(pairs) if pairs is not None else []
         if last and not tailState["flowNone"]:
             # no flow exists past the final frame (videoSR.py:411-414)
             out.append(None)
@@ -635,12 +658,11 @@ def doVSR(func, node, opt: VSROpt):
         # pure item bookkeeping — SpyNet runs (on reversed pairs) inside
         # the forward scan program (fScanPairsUpJit)
         out: List = []
-        start = 0
         if fwdState["first"]:
             out.append(None)
-            start = 1
+            pairs = pairs[1:]
             fwdState["first"] = False
-        out.extend((pairs, i) for i in range(start, pairs.shape[0]))
+        out.extend(pairs)
         return out
 
     def calcBackward(inp, flowInp, keyframeFeat, last=None):
@@ -657,7 +679,7 @@ def doVSR(func, node, opt: VSROpt):
         # 6x36 ms of padded compute per clip (one extra cached compile
         # per distinct tail length)
         T = min(n, BackwardChunk)
-        pairStack = _stackRuns(flowInp, n, T, (2, h, w, 3), opt.dtype)
+        pairStack = _stackPairs(flowInp, n, T, (h, w, 3), opt.dtype)
         kfStack, kfIdx, kfMask = _packOptional(
             keyframeFeat, n, T, (h, w, NumFeat), opt.dtype
         )
@@ -695,7 +717,7 @@ def doVSR(func, node, opt: VSROpt):
         featProp = forwardState["featProp"]
         if featProp is None:
             featProp = jnp.zeros((1, h, w, NumFeat), opt.dtype)
-        pairStack = _stackRuns(flowInp, n, T, (2, h, w, 3), opt.dtype)
+        pairStack = _stackPairs(flowInp, n, T, (h, w, 3), opt.dtype)
         flowM = np.zeros(T, bool)
         flowM[:n] = [f is not None for f in flowInp[:n]]
         kfStack, kfIdx, kfMask = _packOptional(
@@ -729,9 +751,15 @@ def doVSR(func, node, opt: VSROpt):
     inp = Stream(name="inp")
     inp1 = Stream(name="inp1")
     backwardInp = Stream(name="backwardInp")
-    flowInp = Stream(2, name="flowInp")
-    flowForwardInp = Stream(name="flowForwardInp").setPadding(1)
-    flowBackwardInp = Stream(name="flowBackwardInp")
+    # window items are [frameA, frameB] LISTS (tensor=False): the tee
+    # drains flowInp per frame, and a tensor window would build its
+    # (1, 2, H, W, 3) array eagerly on every push (~3 device ops/frame);
+    # the scan stages batch the lists once per chunk via _stackPairs
+    flowInp = Stream(2, tensor=False, batchFunc=listB, name="flowInp")
+    flowForwardInp = Stream(
+        tensor=False, batchFunc=listB, name="flowForwardInp"
+    ).setPadding(1)
+    flowBackwardInp = Stream(tensor=False, batchFunc=listB, name="flowBackwardInp")
     isKeyFrame = KeyFrameState(RefTime)
     keyframeFeatureInp = Stream(
         RefTime, tensor=False, reserve=1, batchFunc=listB, name="kfInp"
