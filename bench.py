@@ -731,7 +731,42 @@ def _benchIconVSR(h=360, w=640, n=14, warm=0):
     return _medianRow(rates)
 
 
+def _claimGuard(timeoutS=1200):
+    """The axon chip claim can wedge forever (observed 2026-08-17: a
+    stale grant left every jax init sleeping in the claim loop).  Probe
+    device init on a side thread; on timeout emit an honest error line
+    instead of hanging the driver silently."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        import jax
+
+        jax.devices()
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeoutS)
+    if not ok.is_set():
+        print(
+            json.dumps(
+                {
+                    "metric": "lite_4x_SR_throughput_1080p",
+                    "value": 0.0,
+                    "unit": "Mpx/s",
+                    "vs_baseline": 0.0,
+                    "error": f"TPU claim did not complete in {timeoutS}s (tunnel wedged)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+
 def main():
+    _claimGuard()
     value = benchTPU()
     base = benchTorchCPU()
     vs = value / base if base else 0.0
