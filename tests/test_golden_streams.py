@@ -167,7 +167,15 @@ def test_ifrnet_full_pipeline_golden(refEnv):
 
 
 @needsReference
-def test_iconvsr_full_pipeline_golden(refEnv):
+@pytest.mark.parametrize(
+    "h,w,n",
+    [
+        (64, 64, 45),  # aligned, >= 2 backward chunks + tail
+        (60, 68, 24),  # UNALIGNED: locks the 64-align pad + batch-crop
+        # parity (one chunk + tail; reference pads/unpads itself)
+    ],
+)
+def test_iconvsr_full_pipeline_golden(refEnv, h, w, n):
     """Full assembled-graph golden: the reference's actual StreamState VSR
     pipeline vs ours, frame for frame.
 
@@ -228,8 +236,7 @@ def test_iconvsr_full_pipeline_golden(refEnv):
         ropt,
     )
     rng = np.random.RandomState(0)
-    n = 45  # >= 2 backward chunks + tail
-    frames = [rng.rand(3, 64, 64).astype(np.float32) for _ in range(n)]
+    frames = [rng.rand(3, h, w).astype(np.float32) for _ in range(n)]
     for fr in frames:
         f(torch.from_numpy(fr))
     ropt.end = -3
