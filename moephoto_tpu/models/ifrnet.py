@@ -445,12 +445,7 @@ _stageJits: dict = {}
 # stages run row-sharded over the mesh (parallel/temporal.py)
 postJit = stageJit(
     postOutApply, (None, 1, 1, None, None, 1)
-)  # pair/pairN (2,H,W,3), decoded (k,H,W,8)
-# batched-over-pairs post: every arg gains a leading pair axis r.  One
-# dispatch merges r pairs — each stream-stage RPC costs ~31 ms through
-# the tunnel (docs/PERF.md round 3), so the per-frame graph was
-# dispatch-bound, not compute-bound.
-postBatchJit = stageJit(postOutBatchApply, (None, 2, 2, None, None, 2))
+)  # pair/pairN (2,H,W,3), decoded (k,H,W,8) — mixed-k fallback
 
 
 def _encoderJit(chs):
@@ -472,29 +467,6 @@ def _decoderJit(chs, side, ensemble):
             (None, 1, None),  # f: pyramid list, every level (2, h_l, w_l, c)
         )
     return _stageJits[key]
-
-
-def _decoderBatchJit(chs, side, ensemble):
-    """Pair-batched decoder: f levels (r, 2, h, w, c), t (r, k) ->
-    (r, k, H/2, W/2, 8).  The (r, k) axes fold into one conv batch dim
-    so one dispatch runs r pairs on the MXU (decoderBatchApply)."""
-    key = ("decB", chs, side, ensemble)
-    if key not in _stageJits:
-        _stageJits[key] = stageJit(
-            lambda p, f, t: decoderBatchApply(
-                p, list(chs), side, f, t, ensemble=ensemble
-            ),
-            (None, 2, None),
-        )
-    return _stageJits[key]
-
-
-# per-chunk frame means / normalization as single dispatches
-meanJit = stageJit(
-    lambda f: jnp.mean(f.astype(jnp.float32), axis=(1, 2, 3), keepdims=True),
-    (1,),
-)
-normJit = stageJit(lambda f, m: f - m.astype(f.dtype), (1, None))
 
 
 def _decodePostJit(chs, side, ensemble, dtype):
