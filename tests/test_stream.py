@@ -336,3 +336,66 @@ def test_ifrnet_dedupe_paths():
     a = frames[0]
     outsDup = run([a, a, a, a], high=0.999999)
     assert len(outsDup) < len(outs)
+
+
+def test_lazy_row_refs_roundtrip():
+    """put() of a batched array stores lazy RowRefs; pops re-merge runs
+    into single slices; tees move refs; custom-batchFunc windows see
+    materialized items — all value-identical to the eager behavior."""
+    import jax.numpy as jnp
+
+    from moephoto_tpu.engine.stream import RowRef, Stream, stackBatch
+
+    rng = np.random.RandomState(3)
+    a = jnp.asarray(rng.rand(5, 2, 3).astype(np.float32))
+    b = jnp.asarray(rng.rand(2, 2, 3).astype(np.float32))
+
+    # batched put -> lazy items; full-coverage pop returns the array itself
+    s = Stream()
+    s.put(a)
+    assert all(isinstance(t, RowRef) for t in s.state)
+    assert s.pop(5) is a
+
+    # runs merge across two source batches + a loose item
+    s = Stream()
+    s.put(a)
+    s.put([jnp.ones((2, 3), jnp.float32)])
+    s.put(b)
+    got = s.pop(8)
+    want = np.concatenate([np.asarray(a), np.ones((1, 2, 3), np.float32), np.asarray(b)])
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+    # windowed tensor pop builds (r, w, ...) column-wise, same values
+    s = Stream(window=2)
+    s.put(a)
+    got = s.pop(4)
+    assert got.shape == (4, 2, 2, 3)
+    for i in range(4):
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(a[i : i + 2]))
+
+    # popItems on a windowed tensor stream yields refs into ONE window
+    # array (what tees forward); consumers restack losslessly
+    s = Stream(window=2)
+    s.put(a)
+    items = s.popItems(4)
+    assert all(isinstance(t, RowRef) for t in items)
+    assert items[0].ref is items[3].ref
+    np.testing.assert_array_equal(
+        np.asarray(stackBatch(items)), np.stack([np.asarray(a[i : i + 2]) for i in range(4)])
+    )
+
+    # custom-batchFunc windows materialize RowRefs before user code
+    seen = []
+    s = Stream(window=2, tensor=False, batchFunc=lambda x: seen.append(x) or x)
+    s.put(a)
+    s.pop(2)
+    for win in seen:
+        assert all(not isinstance(t, RowRef) for t in win)
+
+    # sinks receive materialized frames
+    s = Stream(store=False)
+    out: list = []
+    s.sink = out
+    s.put(a)
+    assert len(out) == 5 and out[0].shape == (2, 3)
+    np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(a[2]))
