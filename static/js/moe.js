@@ -375,12 +375,15 @@
     if (dirty) renderSummary();
   }
 
+  var pollFails = 0;
+
   function poll(session) {
     if (!polling) return;
     fetch('/msg?session=' + encodeURIComponent(session))
       .then(function (r) { return r.text(); })
       .then(function (body) {
         if (!polling) return;
+        pollFails = 0;
         if (body) {
           try {
             var note = JSON.parse(body);
@@ -389,7 +392,33 @@
         }
         setTimeout(function () { poll(session); }, 500);
       })
-      .catch(function () { setTimeout(function () { poll(session); }, 2000); });
+      .catch(function () {
+        // exponential reconnect backoff (reference src/js/app.js:85-89)
+        pollFails = Math.min(pollFails + 1, 7);
+        setTimeout(function () { poll(session); }, 200 << pollFails);
+      });
+  }
+
+  // drag-drop a file anywhere on the page into the file input
+  // (reference src/js/app.js:30-62)
+  function wireDropZone() {
+    var inp = $('fileInput');
+    if (!inp) return;
+    ['dragover', 'dragenter'].forEach(function (ev) {
+      document.body.addEventListener(ev, function (e) {
+        e.preventDefault();
+        e.stopPropagation();
+        if (e.dataTransfer) e.dataTransfer.dropEffect = 'copy';
+      }, false);
+    });
+    document.body.addEventListener('drop', function (e) {
+      e.preventDefault();
+      e.stopPropagation();
+      if (e.dataTransfer && e.dataTransfer.files && e.dataTransfer.files.length) {
+        inp.files = e.dataTransfer.files;
+        inp.dispatchEvent(new Event('change'));
+      }
+    }, false);
   }
 
   // ======================= submit =========================================
@@ -529,6 +558,7 @@
   buildAdders(mode);
   renderSteps();
   wirePresets(mode, app.dataset.version);
+  wireDropZone();
   if ($('submitBtn'))
     $('submitBtn').addEventListener('click', function () { submit(mode, endpoint); });
   if ($('stopBtn'))
