@@ -101,6 +101,119 @@ def _lutKernel(D, C, imgRef, tabRef, lutRef, selRef, eBRef, eGRef, eRRef, outRef
     outRef[...] = out.astype(outRef.dtype)
 
 
+_TLX = 512  # pixels (lanes) per program for the lanes-major variant
+
+
+def _lutKernelT(D, C, imgRef, tabRef, lutRef, selRef, eBRef, eGRef, eRRef, outRef):
+    """Lanes-major twin of _lutKernel: pixels ride the LANE axis so the
+    image/output DMAs are dense (the pixel-major kernel moves (T, 3)
+    blocks at 3/128 lane fill).  Same math, every operand transposed."""
+    rgb = imgRef[...].astype(jnp.float32)  # (3, T)
+    lo = tabRef[0:1, 9:10]
+    hi = tabRef[0:1, 10:11]
+    r = jnp.clip(rgb[0:1, :], lo, hi)
+    g = jnp.clip(rgb[1:2, :], lo, hi)
+    b = jnp.clip(rgb[2:3, :], lo, hi)
+
+    def hats(x, c0):  # (1, T) vs (D, 1) vertex columns -> (D, T)
+        vPrev = tabRef[:, c0 : c0 + 1]
+        vCur = tabRef[:, c0 + 1 : c0 + 2]
+        vNext = tabRef[:, c0 + 2 : c0 + 3]
+        up = jnp.clip((x - vPrev) / (vCur - vPrev), 0.0, 1.0)
+        dn = jnp.clip((vNext - x) / (vNext - vCur), 0.0, 1.0)
+        return up + dn - 1.0
+
+    wR = hats(r, 0)
+    wG = hats(g, 3)
+    wB = hats(b, 6)
+
+    dot = lambda a_, b_: lax.dot_general(
+        a_, b_, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    wgb = dot(eBRef[...], wB) * dot(eGRef[...], wG)  # (DD, T)
+    a = jnp.dot(
+        lutRef[...].astype(jnp.bfloat16),
+        wgb.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # (C*D, T)
+    out = jnp.dot(
+        selRef[...], a * dot(eRRef[...], wR), preferred_element_type=jnp.float32
+    )  # (C, T)
+    outRef[...] = out.astype(outRef.dtype)
+
+
+def ailutTransformPallasT(
+    img: jnp.ndarray,  # (B, H, W, 3)
+    lut: jnp.ndarray,  # (B, C, D, D, D) red-minor
+    vertices: jnp.ndarray,  # (B, 3, D) sorted
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Lanes-major ailutTransformPallas (pixels along lanes; one XLA
+    transpose each way).  Numerics identical to the pixel-major kernel."""
+    B, H, W, _ = img.shape
+    C = lut.shape[1]
+    D = lut.shape[-1]
+    N = H * W
+    Np = -(-N // _TLX) * _TLX
+    f32 = jnp.float32
+
+    selT = (
+        lax.broadcasted_iota(jnp.int32, (C, C * D), 1) // D
+        == lax.broadcasted_iota(jnp.int32, (C, C * D), 0)
+    ).astype(f32)
+    lanes = np.arange(D * D)
+    eBT = jnp.asarray((lanes[:, None] // D == np.arange(D)).astype(np.float32))
+    eGT = jnp.asarray((lanes[:, None] % D == np.arange(D)).astype(np.float32))
+    lanesC = np.arange(C * D)
+    eRT = jnp.asarray((lanesC[:, None] % D == np.arange(D)).astype(np.float32))
+
+    outs = []
+    for bi in range(B):
+        flatT = img[bi].reshape(N, 3).astype(f32).T  # (3, N)
+        flatT = jnp.pad(flatT, ((0, 0), (0, Np - N)))
+        # lutMatT (C*D, D*D): row c*D+rid, lane bid*D+gid
+        lutMatT = (
+            lut[bi].astype(f32).transpose(0, 3, 1, 2).reshape(C * D, D * D)
+        )
+        tabT = _tables(vertices[bi], D).T  # (D, 11)
+        out = pl.pallas_call(
+            functools.partial(_lutKernelT, D, C),
+            grid=(Np // _TLX,),
+            in_specs=[
+                pl.BlockSpec((3, _TLX), lambda i: (0, i)),
+                pl.BlockSpec((D, 11), lambda i: (0, 0)),
+                pl.BlockSpec((C * D, D * D), lambda i: (0, 0)),
+                pl.BlockSpec((C, C * D), lambda i: (0, 0)),
+                pl.BlockSpec((D * D, D), lambda i: (0, 0)),
+                pl.BlockSpec((D * D, D), lambda i: (0, 0)),
+                pl.BlockSpec((C * D, D), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((C, _TLX), lambda i: (0, i)),
+            out_shape=jax.ShapeDtypeStruct((C, Np), f32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+        )(flatT, tabT, lutMatT, selT, eBT, eGT, eRT)
+        outs.append(out[:, :N].T.reshape(H, W, C))
+    return jnp.stack(outs).astype(img.dtype)
+
+
+def _tables(vt, D):  # (3, D) -> (11, D) prev/cur/next per axis + clamp rows
+    f32 = jnp.float32
+    pads = []
+    for a in (0, 1, 2):  # r, g, b
+        v = vt[a].astype(f32)
+        pads.append(jnp.concatenate([jnp.full((1,), -_BIG, f32), v[:-1]]))
+        pads.append(v)
+        pads.append(jnp.concatenate([v[1:], jnp.full((1,), _BIG, f32)]))
+    lo = jnp.max(jnp.stack([vt[0, 0], vt[1, 0], vt[2, 0]])).reshape(1)
+    hi = jnp.min(jnp.stack([vt[0, -1], vt[1, -1], vt[2, -1]])).reshape(1)
+    pads.append(jnp.pad(lo, (0, D - 1)))
+    pads.append(jnp.pad(hi, (0, D - 1)))
+    return jnp.stack(pads)  # (11, D)
+
+
 def ailutTransformPallas(
     img: jnp.ndarray,  # (B, H, W, 3)
     lut: jnp.ndarray,  # (B, C, D, D, D) red-minor
@@ -113,24 +226,6 @@ def ailutTransformPallas(
     N = H * W
     Np = -(-N // _TPX) * _TPX
     f32 = jnp.float32
-
-    def tables(vt):  # (3, D) -> (11, D) prev/cur/next per axis + clamp row
-        pads = []
-        for a in (0, 1, 2):  # r, g, b
-            v = vt[a].astype(f32)
-            pads.append(jnp.concatenate([jnp.full((1,), -_BIG, f32), v[:-1]]))
-            pads.append(v)
-            pads.append(jnp.concatenate([v[1:], jnp.full((1,), _BIG, f32)]))
-        # rows 9/10: global clamp bounds (min of v0s, max of vD-1s are
-        # per-axis in principle; clamping per axis would need 6 rows —
-        # use per-axis via rows 1/4/7 start/end instead.  Simpler: the
-        # three axes share [min, max] envelope; retouch vertices span
-        # [0, 1] on every axis so the envelope is exact.
-        lo = jnp.max(jnp.stack([vt[0, 0], vt[1, 0], vt[2, 0]])).reshape(1)
-        hi = jnp.min(jnp.stack([vt[0, -1], vt[1, -1], vt[2, -1]])).reshape(1)
-        pads.append(jnp.pad(lo, (0, D - 1)))
-        pads.append(jnp.pad(hi, (0, D - 1)))
-        return jnp.stack(pads)  # (11, D)
 
     # static (C*D, C) selector: lane c*D+r contributes to channel c
     sel = (
@@ -152,7 +247,7 @@ def ailutTransformPallas(
         lutMat = (
             lut[bi].astype(f32).transpose(1, 2, 0, 3).reshape(D * D, C * D)
         )
-        tab = tables(vertices[bi])
+        tab = _tables(vertices[bi], D)
         out = pl.pallas_call(
             functools.partial(_lutKernel, D, C),
             grid=(Np // _TPX,),

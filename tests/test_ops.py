@@ -370,3 +370,10 @@ def test_ailut_pallas_kernel_matches_xla():
         functools.partial(ailutTransformPallas, interpret=True)(img, lut, vert)
     )
     assert np.abs(ref - got).max() < 1e-2
+
+    from moephoto_tpu.ops.lutkernel import ailutTransformPallasT
+
+    gotT = np.asarray(
+        functools.partial(ailutTransformPallasT, interpret=True)(img, lut, vert)
+    )
+    assert np.abs(ref - gotT).max() < 1e-2
