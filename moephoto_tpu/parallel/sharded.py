@@ -14,7 +14,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 
@@ -61,7 +61,7 @@ def shardedTiledForward(
         mesh=mesh,
         in_specs=(P(), P("dp", "sp", None, None)),
         out_specs=P("dp", "sp", None, None),
-        check_rep=False,
+        check_vma=False,
     )
 
 
@@ -106,6 +106,6 @@ def makeShardedTrainStep(
         mesh=mesh,
         in_specs=(P(), P("dp", "sp", None, None), P("dp", "sp", None, None)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(stepped)

@@ -100,6 +100,14 @@ def _runAll() -> dict:
     )
     out["ailutTransformPallas"] = _maxabs(got, want)
 
+    from moephoto_tpu.ops.lutkernel import ailutTransformPallasT
+
+    got = jax.jit(ailutTransformPallasT)(img, lut, vert)
+    want = jax.jit(functools.partial(ailutTransformPallasT, interpret=True))(
+        img, lut, vert
+    )
+    out["ailutTransformPallasT"] = _maxabs(got, want)
+
     return out
 
 
