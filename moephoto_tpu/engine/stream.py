@@ -87,6 +87,51 @@ def stackBatch(items):
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
 
+def stackRuns(items, n, T, shape, dtype=jnp.float32):
+    """``stackBatch``'s sibling for (ref, idx)-tuple items with
+    None -> zeros and tail padding to ``T`` rows: stack per-frame stream
+    items back into a (T, *shape) chunk array, merging contiguous runs
+    of the same source array into single slices (consecutive Nones
+    merge into one zeros block).  A chunk's items normally all come
+    from ONE upstream dispatch, so this is ~1-3 device ops instead of
+    T slice + stack eager RPCs (docs/PERF.md round 3).  Any change to
+    the run-merge rule here should be mirrored in ``stackBatch``."""
+    parts: List = []
+    run = None  # (ref, start, stop)
+    zeros = 0
+
+    def flushRun():
+        nonlocal run
+        if run is not None:
+            ref, a, b = run
+            seg = ref[a:b] if (a, b) != (0, ref.shape[0]) else ref
+            parts.append(seg if seg.dtype == dtype else seg.astype(dtype))
+            run = None
+
+    def flushZeros():
+        nonlocal zeros
+        if zeros:
+            parts.append(jnp.zeros((zeros,) + tuple(shape), dtype))
+            zeros = 0
+
+    for it in items[:n]:
+        if it is None:
+            flushRun()
+            zeros += 1
+            continue
+        ref, i = it
+        flushZeros()
+        if run is not None and run[0] is ref and run[2] == i:
+            run = (run[0], run[1], i + 1)
+        else:
+            flushRun()
+            run = (ref, i, i + 1)
+    flushRun()
+    zeros += T - n
+    flushZeros()
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+
 class Stream:
     """A buffered frame stream (reference ``StreamState``)."""
 

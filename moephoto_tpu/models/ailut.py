@@ -109,7 +109,16 @@ def makeAiLUT(nRanks: int = 3, nVertices: int = 33, backbone: str = "tpami"):
         # [0, 1] retouch images.
         from moephoto_tpu.parallel.temporal import spmdTracing
 
-        if jax.default_backend() != "cpu" and not spmdTracing():
+        # AiLUT is fp32 by design (reference pins it — AiLUT.py:157), so
+        # unlike the bf16 warp/DCN gates there is no dtype proxy for "on
+        # the TPU": check the pinned default device too, else CPU-pinned
+        # parity runs in a TPU-registered process would trace the Mosaic
+        # kernel for a CPU device and fail to lower.
+        pinned = jax.config.jax_default_device
+        onCpu = jax.default_backend() == "cpu" or (
+            pinned is not None and pinned.platform == "cpu"
+        )
+        if not onCpu and not spmdTracing():
             from moephoto_tpu.ops.lutkernel import ailutTransformPallas
 
             return ailutTransformPallas(imgs, luts, vertices)

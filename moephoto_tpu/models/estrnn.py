@@ -216,7 +216,7 @@ Chunk = 8
 
 def doESTRNN(func, node, opt: ESTRNNOpt):
     """Assemble the stream graph (reference ``doESTRNN`` :209-224)."""
-    nodes = [Node({"ESTRNN": key}) for key in ("forward", "pooling", "fusion", "recons")]
+    nodes = [Node({"ESTRNN": key}) for key in ("forward", "fusion")]
     graph = StreamGraph()
     sinkList: List = []
 
@@ -225,13 +225,14 @@ def doESTRNN(func, node, opt: ESTRNNOpt):
     w = Stream(RefTime, reserve=1, name="w")
 
     def calcForward(x, last=None):
-        # x: list of up to ``Chunk`` (H, W, 3) frames; the whole chunk
-        # runs as one scan program (cellScanPoolApply) with the hidden
-        # carry threaded across chunks — identical math to per-frame
-        # calls.  The GSA pooling weights come out of the same dispatch
-        # and go straight to the ``w`` stream (put here, not via a
-        # second stage — a stage broadcasts ONE output to all outs).
-        frames = jnp.stack(x).astype(opt.dtype)
+        # x: (r, H, W, 3) batch (inp is a tensor stream — pop stacks up
+        # to ``Chunk`` frames); the whole chunk runs as one scan program
+        # (cellScanPoolApply) with the hidden carry threaded across
+        # chunks — identical math to per-frame calls.  The GSA pooling
+        # weights come out of the same dispatch and go straight to the
+        # ``w`` stream (put here, not via a second stage — a stage
+        # broadcasts ONE output to all outs).
+        frames = x.astype(opt.dtype)
         if hiddenBox["h"] is None:
             H, W = frames.shape[1] >> DS_ratio, frames.shape[2] >> DS_ratio
             hiddenBox["h"] = jnp.zeros((1, H, W, NumFeat), opt.dtype)
@@ -253,7 +254,7 @@ def doESTRNN(func, node, opt: ESTRNNOpt):
     outS.sink = sinkList
 
     graph.stage(nodes[0].bindFunc(calcForward), [inp], [hs], size=Chunk)
-    graph.stage(nodes[2].bindFunc(fusionStage), [hs, w], [outS], size=Chunk)
+    graph.stage(nodes[1].bindFunc(fusionStage), [hs, w], [outS], size=Chunk)
 
     def initFunc(o, x):
         o.padF, o.unpadF, size = alignPad(x, 8)

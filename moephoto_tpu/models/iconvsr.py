@@ -19,7 +19,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from moephoto_tpu.config import config
-from moephoto_tpu.engine.stream import InfiniteSource, Stream, StreamGraph
+from moephoto_tpu.engine.stream import (
+    InfiniteSource,
+    Stream,
+    StreamGraph,
+    stackRuns,
+)
 from moephoto_tpu.models.api import (
     Params,
     avgPool2d,
@@ -567,53 +572,11 @@ def _stackPairs(items, n, T, shape, dtype):
     return jnp.stack(cols, axis=1)
 
 
-def _stackRuns(items, n, T, shape, dtype=jnp.float32):
-    """Stack per-frame stream items back into a (T, *shape) chunk array
-    from (ref, idx) reference items (None -> zeros), merging contiguous
-    runs of the same source array into single slices.  A chunk's items
-    normally all come from ONE upstream dispatch, so this is ~1-3 device
-    ops instead of T slice + stack eager RPCs (docs/PERF.md round 3)."""
-    parts: List = []
-    run = None  # (ref, start, stop)
-    zeros = 0
-
-    def flushRun():
-        nonlocal run
-        if run is not None:
-            ref, a, b = run
-            seg = ref[a:b] if (a, b) != (0, ref.shape[0]) else ref
-            parts.append(seg if seg.dtype == dtype else seg.astype(dtype))
-            run = None
-
-    def flushZeros():
-        nonlocal zeros
-        if zeros:
-            parts.append(jnp.zeros((zeros,) + tuple(shape), dtype))
-            zeros = 0
-
-    for it in items[:n]:
-        if it is None:
-            flushRun()
-            zeros += 1
-            continue
-        ref, i = it
-        flushZeros()
-        if run is not None and run[0] is ref and run[2] == i:
-            run = (run[0], run[1], i + 1)
-        else:
-            flushRun()
-            run = (ref, i, i + 1)
-    flushRun()
-    zeros += T - n
-    flushZeros()
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-
-
 def doVSR(func, node, opt: VSROpt):
     """Assemble the VSR stream graph (reference ``doVSR`` :502-541)."""
     nodes = [
         Node({"IconVSR": key})
-        for key in ("KeyframeFeature", "Flow", "Backward", "FlowF", "Forward", "upsample")
+        for key in ("KeyframeFeature", "Flow", "Backward", "FlowF", "Forward")
     ]
     graph = StreamGraph()
     sinkList: List = []
@@ -725,7 +688,7 @@ def doVSR(func, node, opt: VSROpt):
         )
         validM = np.zeros(T, bool)
         validM[:n] = True
-        bwd = _stackRuns(
+        bwd = stackRuns(
             [b[0] for b in backward[:n]], n, T, (h, w, NumFeat), opt.dtype
         )
         out, featProp = fScanPairsUpJit(
@@ -789,7 +752,7 @@ def doVSR(func, node, opt: VSROpt):
     graph.stage(
         nodes[1].bindFunc(calcFlowBackward), [flowBackwardInp], [flowBackward],
         # batch SpyNet pairs (ref schedules 1 at a time); 20 aligns the
-        # flow chunk with BackwardChunk so _stackRuns hits its 1-slice
+        # flow chunk with BackwardChunk so stackRuns hits its 1-slice
         # fast path, and spy B=20 is sub-linear (12 ms/pair vs 17 at 10)
         size=BackwardChunk, flushOnce=True,
     )

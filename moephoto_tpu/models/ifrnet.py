@@ -524,7 +524,6 @@ def doSlomo(func, node, opt: IFRNetOpt):
     nodes = [
         Node({"IFRNet": "encode"}),
         Node({"IFRNet": "decode"}, load=load),
-        Node({"IFRNet": "post"}, load=load),
     ]
     graph = StreamGraph()
     sinkList: List = []

@@ -293,6 +293,7 @@
       }
     });
     if (numVal('decWidth') > 0) w = numVal('decWidth') * (src.w ? w / src.w : 1);
+    if (numVal('decHeight') > 0) h = numVal('decHeight') * (src.h ? h / src.h : 1);
     var t = [];
     if (w && h) t.push('输出尺寸 ' + Math.round(w) + '×' + Math.round(h));
     else t.push('输出尺寸 —（提交后显示）');

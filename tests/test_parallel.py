@@ -256,7 +256,6 @@ def test_mesh_temporal_iconvsr_row_sharded_exact():
         multi24 = runAll()
     finally:
         config.meshShape, config.meshBackend = oldShape, oldBackend
-        _withCpuMesh(oldShape) if oldShape else None
         from moephoto_tpu.parallel import mesh as meshMod
         from moephoto_tpu.parallel import temporal as tempMod
 
