@@ -399,3 +399,42 @@ def test_lazy_row_refs_roundtrip():
     s.put(a)
     assert len(out) == 5 and out[0].shape == (2, 3)
     np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(a[2]))
+
+
+def test_stack_runs_merges_and_pads():
+    """stackRuns (engine/stream.py): (ref, idx) runs merge into single
+    slices, Nones become zeros blocks, the tail pads to T rows, and the
+    whole-array fast path aliases the source."""
+    import jax.numpy as jnp
+
+    from moephoto_tpu.engine.stream import stackRuns
+
+    rng = np.random.RandomState(5)
+    a = jnp.asarray(rng.rand(4, 2, 3).astype(np.float32))
+    b = jnp.asarray(rng.rand(3, 2, 3).astype(np.float32))
+
+    # full coverage of one source aliases it (no device ops)
+    items = [(a, i) for i in range(4)]
+    assert stackRuns(items, 4, 4, (2, 3)) is a
+
+    # run merge across sources + Nones + tail padding
+    items = [(a, 1), (a, 2), None, None, (b, 0)]
+    got = np.asarray(stackRuns(items, 5, 7, (2, 3)))
+    want = np.concatenate(
+        [
+            np.asarray(a[1:3]),
+            np.zeros((2, 2, 3), np.float32),
+            np.asarray(b[0:1]),
+            np.zeros((2, 2, 3), np.float32),
+        ]
+    )
+    np.testing.assert_array_equal(got, want)
+
+    # non-contiguous indices split runs (values still exact)
+    items = [(a, 2), (a, 0)]
+    got = np.asarray(stackRuns(items, 2, 2, (2, 3)))
+    np.testing.assert_array_equal(got, np.asarray(a)[[2, 0]])
+
+    # dtype cast applies to merged segments
+    got = stackRuns([(a, 0), None], 2, 2, (2, 3), dtype=jnp.bfloat16)
+    assert got.dtype == jnp.bfloat16
