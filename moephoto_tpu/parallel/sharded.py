@@ -109,3 +109,47 @@ def makeShardedTrainStep(
         check_vma=False,
     )
     return jax.jit(stepped)
+
+
+def makeOptaxTrainStep(
+    apply: Callable,
+    mesh: Mesh,
+    tx,
+    halo: int,
+    scale: int = 1,
+):
+    """``makeShardedTrainStep`` with a real optimizer: L1 loss over a
+    dp (batch) x sp (rows, ICI halo exchange) sharded patch batch,
+    gradients identical on every shard via the psum'd loss, optax
+    update threaded through a replicated opt_state.  The fine-tuning
+    CLI (tools/train.py) builds on this; the reference has no training
+    path at all.
+
+    apply: (params, (B, h, w, C) LR) -> (B, h*scale, w*scale, C).
+    Returns ``step(params, optState, x, y) -> (params, optState, loss)``
+    (jitted; call under ``with mesh:``)."""
+    import optax
+
+    def localLoss(params, x, y):
+        xp = haloExchange(x, halo, "sp")
+        pred = apply(params, xp)
+        hs = halo * scale
+        pred = pred[:, hs:-hs]
+        loss = jnp.mean(jnp.abs(pred.astype(jnp.float32) - y.astype(jnp.float32)))
+        n = jax.lax.psum(1, "dp") * jax.lax.psum(1, "sp")
+        return jax.lax.psum(loss, ("dp", "sp")) / n
+
+    def localStep(params, optState, x, y):
+        loss, grads = jax.value_and_grad(localLoss)(params, x, y)
+        updates, optState = tx.update(grads, optState, params)
+        params = optax.apply_updates(params, updates)
+        return params, optState, loss
+
+    stepped = shard_map(
+        localStep,
+        mesh=mesh,
+        in_specs=(P(), P(), P("dp", "sp", None, None), P("dp", "sp", None, None)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(stepped)

@@ -1,0 +1,189 @@
+"""Fine-tune a zoo SR model on an image folder (TPU-native training).
+
+The reference has NO training path (inference-only `nn.Module`s); this
+is the rebuild's extension: self-supervised SR fine-tuning — sample HR
+patches from user images, downscale to LR, minimize L1(model(LR), HR) —
+with the dp (batch) x sp (rows, shard_map halo exchange) mesh step from
+``parallel/sharded.makeOptaxTrainStep`` and orbax checkpointing.
+
+Usage:
+  python tools/train.py --data 'photos/*.png' --model lite --scale 2 \
+      --steps 2000 --batch 8 --patch 64 --lr 1e-4 --out /tmp/ft
+  # resume:
+  python tools/train.py ... --out /tmp/ft --resume
+
+Runs on whatever devices jax exposes: the real chip (mesh [1, 1]), a
+multi-chip mesh via --mesh dp,sp, or CPU for tests/dev.  Checkpoints
+are plain param pytrees compatible with ``models/api.convertStateDict``
+output, so a fine-tuned tree drops into the inference registry as-is.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def buildModel(name: str, scale: int, dtype, fromScratch: bool = False):
+    """(apply, params, halo) for a trainable registry SR model."""
+    import jax.numpy as jnp
+
+    import __graft_entry__ as GE
+    from moephoto_tpu.models import sr as SR
+
+    if name == "lite":
+        apply = SR.makeMoeNetLite2(scale)
+        params = GE._lite2Params(scale, dtype=jnp.float32, random=fromScratch)
+    elif name == "a":
+        apply = SR.makeMyNetSR(scale)
+        params = None  # requires the real checkpoint
+        raise SystemExit("a-family fine-tuning needs a checkpoint loader; use --model lite")
+    else:
+        raise SystemExit(f"unknown --model {name}")
+    # fp32 master params for optimization regardless of inference dtype
+    params = {k: np.asarray(v, np.float32) for k, v in params.items()}
+    return apply, params, 8  # halo: covers lite's receptive field
+
+
+class PatchSampler:
+    """Random HR/LR patch batches from an image folder (luma channel —
+    the lite family is single-channel by design, models/sr.py)."""
+
+    def __init__(self, paths, patch: int, scale: int, seed: int = 0):
+        from PIL import Image
+
+        self.rng = np.random.RandomState(seed)
+        self.patch = patch
+        self.scale = scale
+        self.imgs = []
+        for p in paths:
+            im = np.asarray(Image.open(p).convert("L"), np.float32) / 255.0
+            hp = patch * scale
+            if im.shape[0] >= hp and im.shape[1] >= hp:
+                self.imgs.append(im)
+        if not self.imgs:
+            raise SystemExit(
+                f"no images of at least {patch * scale}px among {len(paths)} inputs"
+            )
+
+    def batch(self, n: int):
+        """(n, p, p, 1) LR, (n, p*s, p*s, 1) HR."""
+        s, p = self.scale, self.patch
+        hp = p * s
+        lrs, hrs = [], []
+        for _ in range(n):
+            im = self.imgs[self.rng.randint(len(self.imgs))]
+            y = self.rng.randint(im.shape[0] - hp + 1)
+            x = self.rng.randint(im.shape[1] - hp + 1)
+            hr = im[y : y + hp, x : x + hp]
+            # area downscale (box filter) — the standard bicubic-free
+            # degradation; exact and cheap on host
+            lr = hr.reshape(p, s, p, s).mean((1, 3))
+            lrs.append(lr)
+            hrs.append(hr)
+        return (
+            np.stack(lrs)[..., None].astype(np.float32),
+            np.stack(hrs)[..., None].astype(np.float32),
+        )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--data", required=True, help="image glob for HR patches")
+    ap.add_argument("--model", default="lite")
+    ap.add_argument("--scale", type=int, default=2)
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--batch", type=int, default=8, help="global batch (divisible by dp)")
+    ap.add_argument("--patch", type=int, default=64, help="LR patch size (rows divisible by sp)")
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--mesh", default="", help="dp,sp (default: all devices on dp)")
+    ap.add_argument("--backend", default="", help="device backend (e.g. cpu for tests)")
+    ap.add_argument("--out", required=True, help="checkpoint directory")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--fromScratch", action="store_true",
+                    help="random init instead of the registry checkpoint")
+    ap.add_argument("--saveEvery", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import orbax.checkpoint as ocp
+    from jax.sharding import Mesh
+
+    from moephoto_tpu.parallel.sharded import makeOptaxTrainStep
+
+    devs = jax.devices(args.backend) if args.backend else jax.devices()
+    if args.mesh:
+        dp, sp = (int(v) for v in args.mesh.split(","))
+    else:
+        dp, sp = len(devs), 1
+    if dp * sp > len(devs):
+        raise SystemExit(f"mesh {dp}x{sp} needs {dp * sp} devices, have {len(devs)}")
+    if args.batch % dp or args.patch % sp:
+        raise SystemExit("--batch must divide by dp and --patch by sp")
+    apply, params, halo = buildModel(args.model, args.scale, jnp.float32,
+                                     fromScratch=args.fromScratch)
+    if args.patch // sp <= halo:
+        raise SystemExit(
+            f"--patch/sp = {args.patch // sp} rows per shard must exceed the "
+            f"model's halo ({halo}; edge shards reflect-pad from their own "
+            f"rows); raise --patch or lower sp"
+        )
+    mesh = Mesh(np.asarray(devs[: dp * sp]).reshape(dp, sp), ("dp", "sp"))
+
+    tx = optax.adam(args.lr)
+    optState = tx.init(params)
+    startStep = 0
+
+    outDir = os.path.abspath(args.out)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptPath = os.path.join(outDir, "state")
+    if args.resume and os.path.isdir(ckptPath):
+        restored = ckptr.restore(ckptPath)
+        params = restored["params"]
+        optState = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(optState),
+            jax.tree_util.tree_leaves(restored["optState"]),
+        )
+        startStep = int(restored["step"])
+        print(f"resumed from step {startStep}")
+
+    sampler = PatchSampler(
+        sorted(glob.glob(args.data)), args.patch, args.scale, args.seed + startStep
+    )
+    step = makeOptaxTrainStep(apply, mesh, tx, halo=halo, scale=args.scale)
+
+    def save(n, params, optState):
+        os.makedirs(outDir, exist_ok=True)
+        state = {
+            "params": jax.device_get(params),
+            "optState": jax.device_get(optState),
+            "step": n,
+        }
+        ckptr.save(ckptPath, state, force=True)
+
+    loss = None
+    with mesh:
+        for n in range(startStep, args.steps):
+            x, y = sampler.batch(args.batch)
+            params, optState, loss = step(params, optState, x, y)
+            if (n + 1) % 20 == 0 or n == startStep:
+                print(f"step {n + 1}/{args.steps} loss {float(loss):.5f}", flush=True)
+            if (n + 1) % args.saveEvery == 0:
+                save(n + 1, params, optState)
+    save(args.steps, params, optState)
+    if loss is not None:
+        print(f"done: {args.steps} steps, final loss {float(loss):.5f}")
+    return params
+
+
+if __name__ == "__main__":
+    main()
