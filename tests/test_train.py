@@ -82,3 +82,24 @@ def test_trained_params_drop_into_inference(tmp_path):
     y = moeNetLite2x2({k: jnp.asarray(v) for k, v in params.items()}, x)
     assert y.shape == (1, 48, 48, 1)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_train_registry_denoise_model(tmp_path):
+    """Registry lookup path: fine-tune dn lite5 (scale-1 noise
+    degradation, real checkpoint from the dev mount)."""
+    import pytest
+
+    from tests.conftest import hasReference
+
+    if not hasReference():
+        pytest.skip("needs the reference checkpoint mount")
+    import train
+
+    _writeImages(str(tmp_path))
+    params = train.main([
+        "--data", str(tmp_path / "*.png"), "--model", "lite5",
+        "--batch", "2", "--patch", "32", "--steps", "2", "--mesh", "2,2",
+        "--backend", "cpu", "--out", str(tmp_path / "dn"), "--sigma", "0.05",
+    ])
+    assert os.path.isdir(os.path.join(str(tmp_path / "dn"), "state"))
+    assert all(np.isfinite(np.asarray(v)).all() for v in params.values())

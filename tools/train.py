@@ -31,7 +31,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def buildModel(name: str, scale: int, dtype, fromScratch: bool = False):
-    """(apply, params, halo) for a trainable registry SR model."""
+    """(apply, params, halo, scale, channels) for a trainable model.
+
+    ``lite`` works checkpoint-free (__graft_entry__ random init);
+    any other name is looked up across the inference registries
+    (``lite2``/``a2``/``lite5``/``gan4``/...) and fine-tunes the real
+    checkpoint — with --fromScratch, a random tree of the checkpoint's
+    own shapes."""
     import jax.numpy as jnp
 
     import __graft_entry__ as GE
@@ -40,30 +46,61 @@ def buildModel(name: str, scale: int, dtype, fromScratch: bool = False):
     if name == "lite":
         apply = SR.makeMoeNetLite2(scale)
         params = GE._lite2Params(scale, dtype=jnp.float32, random=fromScratch)
-    elif name == "a":
-        apply = SR.makeMyNetSR(scale)
-        params = None  # requires the real checkpoint
-        raise SystemExit("a-family fine-tuning needs a checkpoint loader; use --model lite")
-    else:
-        raise SystemExit(f"unknown --model {name}")
-    # fp32 master params for optimization regardless of inference dtype
+        params = {k: np.asarray(v, np.float32) for k, v in params.items()}
+        return apply, params, 8, scale, 1
+
+    from moephoto_tpu.models import api as M
+    from moephoto_tpu.pipeline import registry as R
+
+    entry = None
+    for reg in (R.SR_REGISTRY, R.DN_REGISTRY, R.DEHAZE_REGISTRY):
+        if name in reg:
+            entry = reg[name]
+            break
+    if entry is None:
+        raise SystemExit(f"unknown --model {name} (try lite, lite2, a2, lite5, ...)")
+    mod = R._lazyImport(entry["family"])
+    apply = getattr(mod, entry["fn"])  # plain XLA apply (no packing/fusion)
+    path = R.modelPath(entry["path"])
+    if not os.path.exists(path):
+        raise SystemExit(f"checkpoint {entry['path']} not available for --model {name}")
+    params = M.loadTorchWeights(path, entry["convT"], dtype=jnp.float32)
+    if fromScratch:
+        rng = np.random.RandomState(0)
+        params = {
+            k: (rng.randn(*np.shape(v)).astype(np.float32) * 0.05
+                if np.asarray(v).ndim else np.asarray(v, np.float32))
+            for k, v in params.items()
+        }
     params = {k: np.asarray(v, np.float32) for k, v in params.items()}
-    return apply, params, 8  # halo: covers lite's receptive field
+    spec = entry["spec"]
+    halo = max(8, int(spec.pad))
+    return apply, params, halo, int(spec.scale), (1 if entry["channelSplit"] else 3)
 
 
 class PatchSampler:
-    """Random HR/LR patch batches from an image folder (luma channel —
-    the lite family is single-channel by design, models/sr.py)."""
+    """Random HR/LR patch batches from an image folder.
 
-    def __init__(self, paths, patch: int, scale: int, seed: int = 0):
+    channels=1 samples luma (the channel-split families are
+    single-channel by design, models/sr.py); channels=3 samples RGB.
+    scale>1: LR = box-downscaled HR (SR fine-tuning); scale==1:
+    LR = HR + Gaussian noise of ``sigma`` (denoise fine-tuning)."""
+
+    def __init__(self, paths, patch: int, scale: int, seed: int = 0,
+                 channels: int = 1, sigma: float = 0.03):
         from PIL import Image
 
         self.rng = np.random.RandomState(seed)
         self.patch = patch
         self.scale = scale
+        self.channels = channels
+        self.sigma = sigma
         self.imgs = []
         for p in paths:
-            im = np.asarray(Image.open(p).convert("L"), np.float32) / 255.0
+            mode = "L" if channels == 1 else "RGB"
+            im = np.asarray(Image.open(p).convert(mode), np.float32) / 255.0
+            if channels == 1:
+                im = im[..., None]
             hp = patch * scale
             if im.shape[0] >= hp and im.shape[1] >= hp:
                 self.imgs.append(im)
@@ -73,8 +110,8 @@ class PatchSampler:
             )
 
     def batch(self, n: int):
-        """(n, p, p, 1) LR, (n, p*s, p*s, 1) HR."""
-        s, p = self.scale, self.patch
+        """(n, p, p, C) LR/noisy, (n, p*s, p*s, C) HR."""
+        s, p, c = self.scale, self.patch, self.channels
         hp = p * s
         lrs, hrs = [], []
         for _ in range(n):
@@ -82,15 +119,17 @@ class PatchSampler:
             y = self.rng.randint(im.shape[0] - hp + 1)
             x = self.rng.randint(im.shape[1] - hp + 1)
             hr = im[y : y + hp, x : x + hp]
-            # area downscale (box filter) — the standard bicubic-free
-            # degradation; exact and cheap on host
-            lr = hr.reshape(p, s, p, s).mean((1, 3))
+            if s > 1:
+                # area downscale (box filter) — bicubic-free degradation
+                lr = hr.reshape(p, s, p, s, c).mean((1, 3))
+            else:
+                lr = np.clip(
+                    hr + self.rng.randn(*hr.shape).astype(np.float32) * self.sigma,
+                    0.0, 1.0,
+                )
             lrs.append(lr)
             hrs.append(hr)
-        return (
-            np.stack(lrs)[..., None].astype(np.float32),
-            np.stack(hrs)[..., None].astype(np.float32),
-        )
+        return np.stack(lrs).astype(np.float32), np.stack(hrs).astype(np.float32)
 
 
 def main(argv=None):
@@ -109,6 +148,8 @@ def main(argv=None):
     ap.add_argument("--fromScratch", action="store_true",
                     help="random init instead of the registry checkpoint")
     ap.add_argument("--saveEvery", type=int, default=200)
+    ap.add_argument("--sigma", type=float, default=0.03,
+                    help="noise level for scale-1 (denoise) fine-tuning")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -129,8 +170,8 @@ def main(argv=None):
         raise SystemExit(f"mesh {dp}x{sp} needs {dp * sp} devices, have {len(devs)}")
     if args.batch % dp or args.patch % sp:
         raise SystemExit("--batch must divide by dp and --patch by sp")
-    apply, params, halo = buildModel(args.model, args.scale, jnp.float32,
-                                     fromScratch=args.fromScratch)
+    apply, params, halo, scale, channels = buildModel(
+        args.model, args.scale, jnp.float32, fromScratch=args.fromScratch)
     if args.patch // sp <= halo:
         raise SystemExit(
             f"--patch/sp = {args.patch // sp} rows per shard must exceed the "
@@ -157,9 +198,10 @@ def main(argv=None):
         print(f"resumed from step {startStep}")
 
     sampler = PatchSampler(
-        sorted(glob.glob(args.data)), args.patch, args.scale, args.seed + startStep
+        sorted(glob.glob(args.data)), args.patch, scale, args.seed + startStep,
+        channels=channels, sigma=args.sigma,
     )
-    step = makeOptaxTrainStep(apply, mesh, tx, halo=halo, scale=args.scale)
+    step = makeOptaxTrainStep(apply, mesh, tx, halo=halo, scale=scale)
 
     def save(n, params, optState):
         os.makedirs(outDir, exist_ok=True)
