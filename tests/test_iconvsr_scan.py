@@ -248,7 +248,7 @@ def test_stack_runs_merges_refs_and_fills():
     of (ref, idx) items, Nones, cross-array runs, reversed order, and
     tail padding (it feeds the scan programs, so a slicing bug would
     silently corrupt frames)."""
-    from moephoto_tpu.models.iconvsr import _stackRuns
+    from moephoto_tpu.engine.stream import stackRuns as _stackRuns
 
     rng = np.random.RandomState(7)
     a = jnp.asarray(rng.rand(6, 4, 5, 2).astype(np.float32))
