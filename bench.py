@@ -198,6 +198,7 @@ def benchDetail():
         detail["kernel_parity_maxabs"] = {"error": str(e).splitlines()[0][:160]}
     with open("BENCH_DETAIL.json", "w") as fp:
         json.dump(detail, fp, indent=2)
+        fp.write("\n")
 
 
 def _psnr(a, b):
