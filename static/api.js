@@ -144,7 +144,13 @@ async function main() {
   process.exit(fail ? 1 : 0);
 }
 
-main().catch((e) => {
-  console.error(e);
-  process.exit(1);
-});
+// Library surface (typed in api.d.ts): `require('./api.js')` gives the
+// building blocks; running the file directly runs the CLI.
+module.exports = { parseArgs, request, multipart, pollProgress, enhanceOne };
+
+if (require.main === module) {
+  main().catch((e) => {
+    console.error(e);
+    process.exit(1);
+  });
+}
