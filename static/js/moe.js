@@ -234,41 +234,26 @@
     return d;
   }
 
+  // pure logic lives in logic.js (MoeLogic) so it's testable under node
+  var fieldKeys = {};
+  Object.keys(OPS).forEach(function (op) {
+    fieldKeys[op] = (OPS[op].fields || []).map(function (f) { return f.key; });
+  });
+
   function stepsJSON(mode) {
-    var out = steps.map(function (st) {
-      var o = { op: st.op };
-      (OPS[st.op].fields || []).forEach(function (f) {
-        var v = st[f.key];
-        if (v === '' || v == null) return;
-        o[f.key] = isNaN(Number(v)) ? v : Number(v);
-      });
-      if (st.op === 'slomo' && o.dedupe) o.dedupe = true;
-      return o;
-    });
-    var diag = diagnoseOpt();
-    if (mode === 'video') {
-      // engine layout (video/engine.py prepare): steps[0]=decode,
-      // steps[1]=range, steps[-1]=output/encode
-      var dec = { op: 'decode' };
-      if ($('decodec') && $('decodec').value) dec.codec = $('decodec').value;
-      if (numVal('decWidth') > 0) dec.width = numVal('decWidth');
-      if (numVal('decHeight') > 0) dec.height = numVal('decHeight');
-      var range = { op: 'range' };
-      if (numVal('rangeStart') > 0) range.start = numVal('rangeStart');
-      if (numVal('rangeStop') > 0) range.stop = numVal('rangeStop');
-      var last = { op: 'output' };
-      if ($('encodec') && $('encodec').value) last.codec = $('encodec').value;
-      if (numVal('outFps') > 0) last.frameRate = numVal('outFps');
-      if ($('outName') && $('outName').value)
-        last.file = 'download/' + $('outName').value;
-      if (diag.bench || diag.clear) last.diagnose = diag;
-      out.unshift(range);
-      out.unshift(dec);
-      out.push(last);
-    } else if (diag.bench || diag.clear) {
-      out.push({ op: 'output', diagnose: diag });
-    }
-    return JSON.stringify(out);
+    var videoOpts = {
+      decodec: $('decodec') ? $('decodec').value : '',
+      decWidth: numVal('decWidth'),
+      decHeight: numVal('decHeight'),
+      rangeStart: numVal('rangeStart'),
+      rangeStop: numVal('rangeStop'),
+      encodec: $('encodec') ? $('encodec').value : '',
+      outFps: numVal('outFps'),
+      outName: $('outName') ? $('outName').value : ''
+    };
+    return JSON.stringify(
+      MoeLogic.stepsPayload(steps, fieldKeys, mode, videoOpts, diagnoseOpt())
+    );
   }
 
   // ======================= summary (output W/H/fps) =======================
@@ -279,36 +264,18 @@
   function renderSummary() {
     var el = $('summary');
     if (!el) return;
-    var w = src.w, h = src.h, fps = src.fps;
-    steps.forEach(function (st) {
-      var sc;
-      if (st.op === 'SR') {
-        sc = Number(st.scale) || 1; w *= sc; h *= sc;
-      } else if (st.op === 'VSR') {
-        w *= 4; h *= 4;
-      } else if (st.op === 'resize') {
-        w *= Number(st.scaleW) || 1; h *= Number(st.scaleH) || 1;
-      } else if (st.op === 'slomo') {
-        fps *= Number(st.sf) || 1;
-      }
-    });
-    if (numVal('decWidth') > 0) w = numVal('decWidth') * (src.w ? w / src.w : 1);
-    if (numVal('decHeight') > 0) h = numVal('decHeight') * (src.h ? h / src.h : 1);
+    var s = MoeLogic.summarize(steps, src,
+      { width: numVal('decWidth'), height: numVal('decHeight') });
     var t = [];
-    if (w && h) t.push('输出尺寸 ' + Math.round(w) + '×' + Math.round(h));
+    if (s.w && s.h) t.push('输出尺寸 ' + Math.round(s.w) + '×' + Math.round(s.h));
     else t.push('输出尺寸 —（提交后显示）');
-    if (fps) t.push(Math.round(fps * 100) / 100 + ' fps');
+    if (s.fps) t.push(Math.round(s.fps * 100) / 100 + ' fps');
     el.textContent = t.join(' · ');
   }
 
   // ======================= diagnose (bench score table) ===================
-  // score semantics from the reference src/js/diagnose.js:12-18,77-92:
-  // mark = nominal-weight / learned seconds-per-load, summed for a total
-  var BENCH_W = { resize: 3e-7, SR: 3e-5, DN: 2e-5, slomo: 15e-6, dehaze: 3e-4 };
-  var BENCH_KEYS = {
-    SR: ['model', 'scale'], DN: ['model'], resize: ['mode'],
-    dehaze: ['model'], slomo: [], sun: [], mddm: []
-  };
+  // score math in logic.js (MoeLogic.benchMark/benchTotal/benchLabel);
+  // this block only renders the table
   var benchMarks = {};
 
   function benchRow(tbody, key) {
@@ -324,14 +291,11 @@
 
   function showBench(op, weight, samples) {
     var tbody = $('benchBody');
-    if (!tbody || !op || !op.op || !(op.op in BENCH_KEYS)) return;
-    var mark = (BENCH_W[op.op] || 1e-3) / Math.max(weight, 1e-12);
+    if (!tbody || !op || !op.op || !(op.op in MoeLogic.BENCH_KEYS)) return;
+    var mark = MoeLogic.benchMark(op.op, weight);
     benchMarks[op.op] = mark;
-    var total = 0;
-    for (var k in benchMarks) total += benchMarks[k];
-    var keys = BENCH_KEYS[op.op] || [];
-    var label = op.op + (keys.length
-      ? ': ' + keys.map(function (k) { return op[k]; }).join(', ') : '');
+    var total = MoeLogic.benchTotal(benchMarks);
+    var label = MoeLogic.benchLabel(op);
     var tr = benchRow(tbody, label.replace(/[^\w.-]/g, '_').slice(0, 32));
     tr.children[0].textContent = label.slice(0, 32);
     tr.children[1].textContent = samples;

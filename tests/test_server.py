@@ -181,6 +181,53 @@ def test_static_legit_download(client):
         os.remove(p)
 
 
+def test_bench_note_end_to_end(client):
+    """A diagnose/bench note walks the whole pipe: a bench-mode progress
+    Node learns an op weight (progress.py trace), the worker-side
+    callback payload lands in the server note cache, and GET /msg hands
+    the client exactly the {op, weight, samples} fields the frontend's
+    bench table consumes (static/js/logic.js benchMark; reference
+    src/js/diagnose.js:77-92)."""
+    import time as _t
+
+    c, S, _ = client
+    from moephoto_tpu import progress as P
+
+    # worker side: bench-mode node learns a weight and emits it
+    notes = []
+    root = P.Node({"op": "SR", "model": "lite", "scale": 2}, load=100, learn=1)
+    root.setCallback(lambda node, info: notes.append(dict(info)), bench=True)
+    root.reset()
+    root.trace(0)
+    _t.sleep(0.01)
+    root.trace()
+    benched = [n for n in notes if "weight" in n]
+    assert benched, notes
+    note = benched[-1]
+    assert note["op"]["op"] == "SR" and note["samples"] >= 1
+    assert note["weight"] > 0
+
+    # server side: note reaches the /msg long-poll for the session
+    S.current.session = "sb"
+    S.current.path = "/video_enhance"
+    S.current.key = S.current.path + "sb"
+    try:
+        S.updateNote(S.current.key, dict(note))
+        resp = c.get("/msg", query_string={
+            "session": "sb", "path": "/video_enhance"})
+        assert resp.status_code == 200
+        got = json.loads(resp.get_data())
+        assert got["op"]["op"] == "SR"
+        assert got["weight"] == pytest.approx(note["weight"])
+        assert got["samples"] == note["samples"]
+        # the frontend score for this note (logic.js benchMark formula)
+        mark = 3e-5 / max(got["weight"], 1e-12)
+        assert mark > 0
+    finally:
+        S.current.session = None
+        S.current.key = None
+
+
 def test_session_acquire_is_atomic(client):
     """Two racing enhance POSTs: exactly one may own the worker."""
     c, S, _ = client
