@@ -34,6 +34,32 @@ Params = Dict[str, jnp.ndarray]
 # model is pinned fp32 (parity mode) we want exactness.
 _precision = ["default"]
 
+# Conv accumulation dtype.  Inference pins ``preferred_element_type``
+# to fp32 (the repo convention).  Under reverse-mode AD, though, JAX's
+# conv *transpose* rule feeds the fp32 cotangent back into a conv whose
+# other operand is still bf16 and ``conv_general_dilated`` rejects the
+# dtype mix — so the mixed-precision train step (parallel/sharded.py
+# makeOptaxTrainStep computeDtype=bf16) traces its forward/backward
+# inside :func:`trainAccum`, which drops the pin and lets convs
+# accumulate to the operand dtype.  The MXU still accumulates fp32
+# internally; only the inter-op activations round to bf16, which is the
+# standard mixed-precision training contract.
+_convPET = [jnp.float32]
+
+
+class trainAccum:
+    """Context manager: trace convs without the fp32 output pin (see
+    ``_convPET``).  Use only around train-step tracing."""
+
+    def __enter__(self):
+        self._prev = _convPET[0]
+        _convPET[0] = None
+        return self
+
+    def __exit__(self, *exc):
+        _convPET[0] = self._prev
+        return False
+
 
 def setPrecision(p: str) -> None:
     assert p in ("default", "high", "highest")
@@ -67,11 +93,11 @@ def conv2d(
         dimension_numbers=dn,
         feature_group_count=groups,
         precision=_precision[0],
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_convPET[0],
     )
     b = params.get(key + ".bias")
     if b is not None:
-        y = y + b.astype(jnp.float32)
+        y = y + b.astype(y.dtype)
     return y.astype(x.dtype)
 
 
@@ -103,11 +129,11 @@ def convTranspose2d(
         lhs_dilation=(stride, stride),
         dimension_numbers=dn,
         precision=_precision[0],
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_convPET[0],
     )
     b = params.get(key + ".bias")
     if b is not None:
-        y = y + b.astype(jnp.float32)
+        y = y + b.astype(y.dtype)
     return y.astype(x.dtype)
 
 
@@ -287,10 +313,10 @@ def deferredSubpixelConv(
     dn = jax.lax.conv_dimension_numbers(xi.shape, Wc.shape, ("NHWC", "HWIO", "NHWC"))
     y = jax.lax.conv_general_dilated(
         xi, Wc, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
-        precision=_precision[0], preferred_element_type=jnp.float32,
+        precision=_precision[0], preferred_element_type=_convPET[0],
     )
     if bias is not None:
-        y = y + jnp.tile(bias.astype(jnp.float32), R * C)
+        y = y + jnp.tile(bias.astype(y.dtype), R * C)
     return y.astype(x.dtype).reshape(b, h, w, R, C, cout)
 
 

@@ -117,6 +117,7 @@ def makeOptaxTrainStep(
     tx,
     halo: int,
     scale: int = 1,
+    computeDtype=None,
 ):
     """``makeShardedTrainStep`` with a real optimizer: L1 loss over a
     dp (batch) x sp (rows, ICI halo exchange) sharded patch batch,
@@ -125,14 +126,36 @@ def makeOptaxTrainStep(
     CLI (tools/train.py) builds on this; the reference has no training
     path at all.
 
+    ``computeDtype=jnp.bfloat16`` is the mixed-precision config
+    matching the inference stack's convention (bf16 compute, fp32
+    accumulation — CLAUDE.md): master params and optimizer state stay
+    fp32; the forward/backward runs on bf16-cast params and inputs, the
+    loss reduction in fp32, and gradients land fp32 on the masters
+    through the cast.
+
     apply: (params, (B, h, w, C) LR) -> (B, h*scale, w*scale, C).
     Returns ``step(params, optState, x, y) -> (params, optState, loss)``
     (jitted; call under ``with mesh:``)."""
     import optax
 
+    def forward(params, x):
+        if computeDtype is None:
+            return apply(params, x)
+        # the model zoo's convention is weights-follow-input
+        # (models/api.py conv2d casts w to x.dtype), so casting the
+        # input runs the whole forward/backward in computeDtype while
+        # the fp32 masters receive fp32 grads through the cast.  The
+        # trainAccum context drops the convs' fp32 output pin during
+        # tracing — JAX's conv transpose rule cannot type a bf16xfp32
+        # operand mix (see models/api._convPET).
+        from ..models.api import trainAccum
+
+        with trainAccum():
+            return apply(params, x.astype(computeDtype))
+
     def localLoss(params, x, y):
         xp = haloExchange(x, halo, "sp")
-        pred = apply(params, xp)
+        pred = forward(params, xp)
         hs = halo * scale
         pred = pred[:, hs:-hs]
         loss = jnp.mean(jnp.abs(pred.astype(jnp.float32) - y.astype(jnp.float32)))

@@ -84,6 +84,53 @@ def test_trained_params_drop_into_inference(tmp_path):
     assert np.isfinite(np.asarray(y)).all()
 
 
+def test_train_improves_heldout_psnr_bf16(tmp_path):
+    """The quality gate (VERDICT round-3 weak #6): fine-tuning must beat
+    its init on held-out PSNR by a real margin — not just descend — and
+    it must do so under the bf16-compute / fp32-master mixed-precision
+    config (the inference stack's convention, CLAUDE.md).
+
+    Setup: lite x2 from scratch on synthetic structured images; eval on
+    a held-out image with fixed patches.  Random init produces garbage
+    (~5-12 dB); even a short run must clear a +3 dB margin."""
+    import jax.numpy as jnp
+    import train
+
+    _writeImages(str(tmp_path), n=3, size=96)
+    holdDir = tmp_path / "holdout"
+    os.makedirs(str(holdDir))
+    # held-out image: same distribution, different phase — never trained on
+    from PIL import Image
+
+    size = 96
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    im = 0.5 + 0.3 * np.sin(8 * yy + 0.7) * np.cos(6 * xx + 0.3)
+    Image.fromarray((np.clip(im, 0, 1) * 255).astype(np.uint8)).save(
+        str(holdDir / "h.png"))
+
+    apply, params0, halo, scale, channels = train.buildModel(
+        "lite", 2, jnp.float32, fromScratch=True)
+    sampler = train.PatchSampler(
+        [str(holdDir / "h.png")], 32, scale, channels=channels)
+    before = train.evalPSNR(apply, params0, sampler)
+
+    params = train.main([
+        "--data", str(tmp_path / "*.png"), "--model", "lite", "--scale", "2",
+        "--batch", "4", "--patch", "32", "--steps", "60", "--lr", "2e-3",
+        "--mesh", "2,2", "--backend", "cpu", "--out", str(tmp_path / "q"),
+        "--fromScratch", "--computeDtype", "bf16",
+        "--holdout", str(holdDir / "*.png"),
+    ])
+    # masters stay fp32 under the mixed-precision config
+    assert all(
+        np.asarray(v).dtype == np.float32
+        for v in params.values()
+        if np.issubdtype(np.asarray(v).dtype, np.floating)
+    )
+    after = train.evalPSNR(apply, params, sampler)
+    assert after >= before + 3.0, (before, after)
+
+
 def test_train_registry_denoise_model(tmp_path):
     """Registry lookup path: fine-tune dn lite5 (scale-1 noise
     degradation, real checkpoint from the dev mount)."""

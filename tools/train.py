@@ -132,6 +132,19 @@ class PatchSampler:
         return np.stack(lrs).astype(np.float32), np.stack(hrs).astype(np.float32)
 
 
+def evalPSNR(apply, params, sampler, n: int = 16, seed: int = 123) -> float:
+    """Held-out PSNR of ``apply(params, LR)`` vs HR over ``n`` patches
+    (the quality number a fine-tuning user actually cares about)."""
+    import jax.numpy as jnp
+
+    sampler.rng = np.random.RandomState(seed)  # fixed eval patches
+    x, y = sampler.batch(n)
+    pred = np.asarray(apply({k: jnp.asarray(v) for k, v in params.items()},
+                            jnp.asarray(x)), np.float32)
+    mse = float(np.mean((np.clip(pred, 0, 1) - np.clip(y, 0, 1)) ** 2))
+    return 10 * float(np.log10(1.0 / max(mse, 1e-12)))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--data", required=True, help="image glob for HR patches")
@@ -151,6 +164,13 @@ def main(argv=None):
     ap.add_argument("--sigma", type=float, default=0.03,
                     help="noise level for scale-1 (denoise) fine-tuning")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--computeDtype", default="fp32", choices=("fp32", "bf16"),
+                    help="bf16 = mixed precision: bf16 forward/backward, "
+                         "fp32 master params + optimizer (the inference "
+                         "stack's bf16-compute/fp32-accum convention)")
+    ap.add_argument("--holdout", default="",
+                    help="image glob for held-out PSNR eval (printed "
+                         "before and after training)")
     args = ap.parse_args(argv)
 
     import jax
@@ -201,7 +221,22 @@ def main(argv=None):
         sorted(glob.glob(args.data)), args.patch, scale, args.seed + startStep,
         channels=channels, sigma=args.sigma,
     )
-    step = makeOptaxTrainStep(apply, mesh, tx, halo=halo, scale=scale)
+    step = makeOptaxTrainStep(
+        apply, mesh, tx, halo=halo, scale=scale,
+        computeDtype=jnp.bfloat16 if args.computeDtype == "bf16" else None,
+    )
+
+    evalSampler = None
+    if args.holdout:
+        evalSampler = PatchSampler(
+            sorted(glob.glob(args.holdout)), args.patch, scale, args.seed + 99,
+            channels=channels, sigma=args.sigma,
+        )
+
+    psnrBefore = psnrAfter = None
+    if evalSampler is not None:
+        psnrBefore = evalPSNR(apply, params, evalSampler)
+        print(f"held-out PSNR before: {psnrBefore:.2f} dB", flush=True)
 
     def save(n, params, optState):
         os.makedirs(outDir, exist_ok=True)
@@ -224,6 +259,13 @@ def main(argv=None):
     save(args.steps, params, optState)
     if loss is not None:
         print(f"done: {args.steps} steps, final loss {float(loss):.5f}")
+    if evalSampler is not None:
+        psnrAfter = evalPSNR(apply, params, evalSampler)
+        print(
+            f"held-out PSNR after: {psnrAfter:.2f} dB "
+            f"({psnrAfter - psnrBefore:+.2f})",
+            flush=True,
+        )
     return params
 
 
