@@ -27,10 +27,17 @@ opsPath = config.opsPath
 
 
 def _describeCall(f, args):
-    """Loggable call signature with model opts elided (they hold arrays)."""
+    """Loggable call signature with model opts elided (they hold arrays).
+
+    Dict args are snapshot-COPIED here: genProcess attaches live
+    ``ModelExec`` objects ('opt') to the step dicts it receives, so a
+    description that aliases them becomes unpicklable the moment the
+    task starts — and the failure REPLY carrying it would kill the
+    worker's result pipe (one malformed request took the whole worker
+    down before this copy)."""
 
     def strip(a):
-        if isinstance(a, dict) and "opt" in a:
+        if isinstance(a, dict):
             return {k: v for k, v in a.items() if k != "opt"}
         return a
 

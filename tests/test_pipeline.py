@@ -269,3 +269,21 @@ def test_bench_mode_emits_op_stats(ctx, tmp_path, monkeypatch):
         isinstance(n["op"], dict) and n["op"].get("op") == "resize" for n in stats
     )
     assert all(n["samples"] >= 1 and n["weight"] > 0 for n in stats)
+
+
+def test_describe_call_snapshots_step_dicts():
+    """The worker's failure reply carries the described call through a
+    multiprocessing pipe.  genProcess attaches live ModelExec objects
+    ('opt') to the step dicts IN PLACE, so the description must snapshot
+    the dicts at call time — an aliasing description became unpicklable
+    and killed the worker's result pipe on any failing task (found
+    driving app.py with a malformed duplicate-'file' step chain)."""
+    import pickle
+
+    from moephoto_tpu.runtime.worker import _describeCall
+
+    step = {"op": "SR", "model": "lite", "scale": 2}
+    called = _describeCall(lambda: 0, [9332, step])
+    step["opt"] = object()  # what genProcess does to its step dicts
+    pickle.dumps(called)  # must survive the result pipe
+    assert called[2] == {"op": "SR", "model": "lite", "scale": 2}
