@@ -103,11 +103,13 @@ def makeAiLUT(nRanks: int = 3, nVertices: int = 33, backbone: str = "tpami"):
         vertices = jnp.pad(jnp.cumsum(intervals, axis=-1), ((0, 0), (0, 0), (1, 0)))
         # TPU production path: the Pallas hat-matmul kernel (no binning
         # matrix, no XLA gathers — ops/lutkernel.py); fp32/CPU parity
-        # runs and row-sharded SPMD stages keep the exact XLA transform.
+        # runs keep the exact XLA transform.  Row-sharded SPMD stage
+        # traces keep the Pallas tier via the shard_map'd wrapper
+        # (pointwise — no halo; ops/lutkernel.ailutTransformPallasSpmd).
         # Semantics note: the kernel clamps inputs to the vertex range
         # where the CUDA reference extrapolates — identical for in-range
         # [0, 1] retouch images.
-        from moephoto_tpu.parallel.temporal import spmdTracing
+        from moephoto_tpu.parallel.temporal import pallasSpmdMode, spmdTracing
 
         # AiLUT is fp32 by design (reference pins it — AiLUT.py:157), so
         # unlike the bf16 warp/DCN gates there is no dtype proxy for "on
@@ -118,7 +120,15 @@ def makeAiLUT(nRanks: int = 3, nVertices: int = 33, backbone: str = "tpami"):
         onCpu = jax.default_backend() == "cpu" or (
             pinned is not None and pinned.platform == "cpu"
         )
-        if not onCpu and not spmdTracing():
+        if spmdTracing():
+            pm = pallasSpmdMode()
+            if pm and (not onCpu or pm == "interpret"):
+                from moephoto_tpu.ops.lutkernel import ailutTransformPallasSpmd
+
+                return ailutTransformPallasSpmd(
+                    imgs, luts, vertices, interpret=pm == "interpret"
+                )
+        elif not onCpu:
             from moephoto_tpu.ops.lutkernel import ailutTransformPallas
 
             return ailutTransformPallas(imgs, luts, vertices)

@@ -201,12 +201,12 @@ def gsaReconsApply(params: Params, hsB: jnp.ndarray, wB: jnp.ndarray):
 # so per-task pipeline rebuilds don't re-trace/re-compile known shapes
 # stageJit == plain jax.jit single-device; with config.meshShape set the
 # stages run row-sharded over the mesh (parallel/temporal.py)
-cellJit = stageJit(cellApply, (None, 1, 1))  # x/hidden (b, h, w, c)
-cellScanJit = stageJit(cellScanApply, (None, 1, 1))  # frames (T, H, W, 3)
-gsaJit = stageJit(gsaApply, (None, 2, None))  # hs (b, 5, h, w, c)
-reconsJit = stageJit(reconsApply, (None, 1))
-cellScanPoolJit = stageJit(cellScanPoolApply, (None, 1, 1))
-gsaReconsJit = stageJit(gsaReconsApply, (None, 2, None))
+cellJit = stageJit(cellApply, (None, 1, 1), outHAxes=(1, 1))  # x/hidden
+cellScanJit = stageJit(cellScanApply, (None, 1, 1), outHAxes=(1, 1))
+gsaJit = stageJit(gsaApply, (None, 2, None), outHAxes=(1,))  # hs (b,5,h,w,c)
+reconsJit = stageJit(reconsApply, (None, 1), outHAxes=(1,))
+cellScanPoolJit = stageJit(cellScanPoolApply, (None, 1, 1), outHAxes=(1, None, 1))
+gsaReconsJit = stageJit(gsaReconsApply, (None, 2, None), outHAxes=(1,))
 
 # frames per stage dispatch: the recurrence runs as scan chunks and the
 # batch stages (pooling/GSA/recons) pop up to this many items at once.

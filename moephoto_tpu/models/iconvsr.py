@@ -73,14 +73,25 @@ def spynetApply(params: Params, pair: jnp.ndarray) -> jnp.ndarray:
         )
         # 3-ch pyramid warps: bf16/TPU rides the Pallas bounded kernel
         # (XLA gathers are the SpyNet hot spot — docs/PERF.md); fp32/CPU
-        # and row-sharded SPMD stages keep the exact XLA path (GSPMD
-        # cannot partition the Pallas custom call)
-        from moephoto_tpu.parallel.temporal import spmdTracing
+        # keeps the exact XLA path; row-sharded SPMD stage traces keep
+        # the Pallas tier via the shard_map'd wrapper
+        # (ops/warp.backWarpBoundedSpmd)
+        from moephoto_tpu.parallel.temporal import pallasSpmdMode, spmdTracing
 
-        if (
+        if spmdTracing():
+            pm = pallasSpmdMode()
+            if pm and (pair.dtype == jnp.bfloat16 or pm == "interpret"):
+                from moephoto_tpu.ops.warp import backWarpBoundedSpmd
+
+                warped = backWarpBoundedSpmd(
+                    supp[level], up, padding_mode="border",
+                    interpret=pm == "interpret",
+                )
+            else:
+                warped = backWarp(supp[level], up, padding_mode="border")
+        elif (
             pair.dtype == jnp.bfloat16
             and jax.default_backend() != "cpu"
-            and not spmdTracing()
         ):
             from moephoto_tpu.ops.warp import backWarpBounded
 
@@ -466,25 +477,29 @@ def _edvrChunk(p, x):
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
 
-edvrJit = stageJit(_edvrChunk, (None, 2))  # x (B, N, H, W, 3)
-spyJit = stageJit(spynetApply, (None, 2))  # pair (B, 2, H, W, 3)
+edvrJit = stageJit(_edvrChunk, (None, 2), outHAxes=(1,))  # x (B, N, H, W, 3)
+spyJit = stageJit(spynetApply, (None, 2), outHAxes=(1,))  # pair (B, 2, H, W, 3)
 bScanJit = stageJit(
     _backwardScan,  # (params, inp(T,H..), flow(T,H..), kfStack(K,H..), idx/masks)
     (None, 1, 1, 1, None, None, None, None),
+    outHAxes=(1,),
 )
 fScanJit = stageJit(
     _forwardScan,  # (params, featProp(1,H..), inp, bwd, flow, kfStack, idx/masks)
     (None, 1, 1, 1, 1, 1, None, None, None, None),
+    outHAxes=(1, 1),
 )
 # fused chunk programs (the production pipeline path; the split jits
 # above remain the unit-tested building blocks)
 bScanPairsJit = stageJit(
     _backwardScanPairs,  # (params, inp(T,H..), pairs(T,2,H..), kfStack, idx/masks)
     (None, 1, 2, 1, None, None, None, None),
+    outHAxes=(1,),
 )
 fScanPairsUpJit = stageJit(
     _forwardScanPairsUp,  # (params, featProp, inp, bwd, pairs, kfStack, idx/masks)
     (None, 1, 1, 1, 2, 1, None, None, None, None),
+    outHAxes=(1, 1),
 )
 # upsample sub-batch: lax.map over B=4 slabs keeps only ~4.8 GB of
 # 4x-res intermediates live at a time (a flat (20, ...) batched body
@@ -514,7 +529,7 @@ def _upsampleChunk(p, inp, feat):
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
 
-upJit = stageJit(_upsampleChunk, (None, 1, 1))  # inp/feat (B, H, W, C)
+upJit = stageJit(_upsampleChunk, (None, 1, 1), outHAxes=(1,))  # (B, H, W, C)
 
 # dispatch granularity only — the forward scan THREADS its carry across
 # chunks (and upsamples in the same program), so outputs are bit-equal

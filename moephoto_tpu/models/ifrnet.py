@@ -55,17 +55,26 @@ def warpExact(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
 
     Full-res image warps (C <= 8, bf16, TPU) go through the Pallas
     bounded-flow kernel with an in-graph fallback for large flows —
-    21 -> 2.3 ms per 720p warp; fp32/CPU and feature warps keep XLA."""
-    from moephoto_tpu.ops.warp import warpBounded, warpXLAExact
+    21 -> 2.3 ms per 720p warp; fp32/CPU and feature warps keep XLA.
+    Row-sharded SPMD stage traces keep the Pallas tier via the
+    shard_map'd wrapper (ops/warp.warpBoundedSpmd)."""
+    from moephoto_tpu.ops.warp import (
+        warpBounded,
+        warpBoundedSpmd,
+        warpXLAExact,
+    )
+    from moephoto_tpu.parallel.temporal import pallasSpmdMode, spmdTracing
 
-    if img.dtype == jnp.bfloat16 and img.shape[-1] <= 8:
+    if img.shape[-1] <= 8:
         import jax as _jax
 
-        from moephoto_tpu.parallel.temporal import spmdTracing
-
-        # row-sharded SPMD stages keep the XLA path (GSPMD cannot
-        # partition the Pallas custom call)
-        if _jax.default_backend() != "cpu" and not spmdTracing():
+        if spmdTracing():
+            pm = pallasSpmdMode()
+            if pm and (img.dtype == jnp.bfloat16 or pm == "interpret"):
+                return warpBoundedSpmd(
+                    img, flow, "border", interpret=pm == "interpret"
+                )
+        elif img.dtype == jnp.bfloat16 and _jax.default_backend() != "cpu":
             return warpBounded(img, flow, "border")
     return warpXLAExact(img, flow, "border")
 
@@ -444,7 +453,7 @@ _stageJits: dict = {}
 # stageJit == plain jax.jit single-device; with config.meshShape set the
 # stages run row-sharded over the mesh (parallel/temporal.py)
 postJit = stageJit(
-    postOutApply, (None, 1, 1, None, None, 1)
+    postOutApply, (None, 1, 1, None, None, 1), outHAxes=(1,)
 )  # pair/pairN (2,H,W,3), decoded (k,H,W,8) — mixed-k fallback
 
 
@@ -452,7 +461,7 @@ def _encoderJit(chs):
     key = ("enc", chs)
     if key not in _stageJits:
         _stageJits[key] = stageJit(
-            lambda p, x: encoderApply(p, list(chs), x), (None, 1)
+            lambda p, x: encoderApply(p, list(chs), x), (None, 1), outHAxes=(1,)
         )
     return _stageJits[key]
 
@@ -465,6 +474,7 @@ def _decoderJit(chs, side, ensemble):
                 p, list(chs), side, f, t, ensemble=ensemble
             ),
             (None, 1, None),  # f: pyramid list, every level (2, h_l, w_l, c)
+            outHAxes=(1,),
         )
     return _stageJits[key]
 
@@ -483,7 +493,7 @@ def _decodePostJit(chs, side, ensemble, dtype):
             )
             return postOutBatchApply(p, pair, pairN, means, t, dec)
 
-        _stageJits[key] = stageJit(run, (None, 2, None, 2, 2, None))
+        _stageJits[key] = stageJit(run, (None, 2, None, 2, 2, None), outHAxes=(2,))
     return _stageJits[key]
 
 
@@ -501,7 +511,7 @@ def _encodeFullJit(chs, dtype):
             feats = encoderApply(p, list(chs), inpN.astype(dtype))
             return m, inpN, feats
 
-        _stageJits[key] = stageJit(run, (None, 1))
+        _stageJits[key] = stageJit(run, (None, 1), outHAxes=(None, 1, 1))
     return _stageJits[key]
 
 

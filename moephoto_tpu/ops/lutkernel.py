@@ -199,6 +199,42 @@ def ailutTransformPallasT(
     return jnp.stack(outs).astype(img.dtype)
 
 
+def ailutTransformPallasSpmd(
+    img: jnp.ndarray,  # (B, H, W, 3)
+    lut: jnp.ndarray,  # (B, C, D, D, D) red-minor
+    vertices: jnp.ndarray,  # (B, 3, D) sorted
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """:func:`ailutTransformPallas` for row-sharded SPMD stage traces.
+
+    The LUT transform is pointwise per pixel (each output pixel depends
+    only on its own input pixel plus the per-image LUT/vertices), so —
+    unlike the warp/DCN wrappers — no halo exchange is needed: the
+    kernel runs per-shard inside ``shard_map`` over the ('sp',) row mesh
+    with the LUT and vertex tables replicated.  Falls back to the exact
+    XLA transform when no mesh is active or rows don't divide."""
+    from jax.sharding import PartitionSpec as P
+
+    from moephoto_tpu.ops.lut import ailutTransform
+    from moephoto_tpu.parallel.temporal import videoMesh
+
+    mesh = videoMesh()
+    H = img.shape[1]
+    if mesh is None or H % mesh.devices.size != 0:
+        return ailutTransform(img, lut, vertices)
+
+    def local(a, l, v):
+        return ailutTransformPallas(a, l, v, interpret=interpret)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, "sp"), P(), P()),
+        out_specs=P(None, "sp"),
+        check_vma=False,
+    )(img, lut, vertices)
+
+
 def _tables(vt, D):  # (3, D) -> (11, D) prev/cur/next per axis + clamp rows
     f32 = jnp.float32
     pads = []

@@ -224,6 +224,22 @@ def warpXLAExact(img, flow, padding_mode="border"):
     return gridSample(img, grid, align_corners=True, padding_mode=padding_mode)
 
 
+def backWarpBoundedSpmd(img, flow, padding_mode="border", interpret=False):
+    """``backWarpBounded`` for row-sharded SPMD stage traces: the
+    normalization-quirk fold is elementwise on GLOBAL row coordinates
+    (GSPMD partitions it natively), then the tiers ride
+    :func:`warpBoundedSpmd`."""
+    B, H, W, _ = img.shape
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    u = flow[..., 0].astype(jnp.float32)
+    v = flow[..., 1].astype(jnp.float32)
+    up = u * ((W - 1.0) / W) - xs[None, None, :] * (1.0 / W)
+    vp = v * ((H - 1.0) / H) - ys[None, :, None] * (1.0 / H)
+    flowP = jnp.stack([up, vp], axis=-1)
+    return warpBoundedSpmd(img, flowP, padding_mode, interpret=interpret)
+
+
 def backWarpBounded(img, flow, padding_mode="border", interpret=False):
     """``backWarp`` semantics on the Pallas bounded-warp path.
 
@@ -243,6 +259,64 @@ def backWarpBounded(img, flow, padding_mode="border", interpret=False):
     vp = v * ((H - 1.0) / H) - ys[None, :, None] * (1.0 / H)
     flowP = jnp.stack([up, vp], axis=-1)
     return warpBounded(img, flowP, padding_mode, interpret=interpret)
+
+
+def warpBoundedSpmd(img, flow, padding_mode="border", fallback=None,
+                    interpret=False):
+    """``warpBounded`` for row-sharded SPMD stage traces.
+
+    GSPMD cannot partition a Pallas custom call, so the bounded tiers
+    run per-shard inside ``shard_map`` over the ('sp',) row mesh with an
+    ICI halo exchange of ``margin`` rows (exactly the rows the kernel's
+    own pad would fabricate mid-image); the fallback tier stays the XLA
+    gather path, which GSPMD partitions natively.  The tier switch is on
+    the GLOBAL flow bound, and per-row outputs are bit-identical to the
+    single-device kernel (same slab values, same f32 tap arithmetic),
+    pinned by tests/test_parallel.py.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from moephoto_tpu.parallel.sharded import haloExchange
+    from moephoto_tpu.parallel.temporal import videoMesh
+
+    if fallback is None:
+        fallback = lambda a, f: warpXLAExact(a, f, padding_mode=padding_mode)
+    mesh = videoMesh()
+    H = img.shape[1]
+    # single-hop ppermute halos require local height >= margin (small
+    # pyramid levels — e.g. SpyNet H=8 over 8 devices — keep XLA)
+    if (
+        mesh is None
+        or H % mesh.devices.size != 0
+        or H // mesh.devices.size < WARP_MARGIN
+    ):
+        return fallback(img, flow)
+    hLocal = H // mesh.devices.size
+    mode = "edge" if padding_mode == "border" else "zero"
+
+    def tier(margin):
+        def local(a, f):
+            ah = haloExchange(a, margin, "sp", mode=mode)
+            fh = haloExchange(f, margin, "sp", mode="zero")  # cropped
+            out = _warpPallas(ah, fh, padding_mode, margin, interpret=interpret)
+            return out[:, margin:-margin]
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None, "sp"), P(None, "sp")),
+            out_specs=P(None, "sp"),
+            check_vma=False,
+        )
+
+    bound = jnp.max(jnp.abs(flow.astype(jnp.float32)))
+    idx = (bound >= WARP_MARGIN - 1.0).astype(jnp.int32) + (
+        bound >= WARP_MARGIN_WIDE - 1.0
+    ).astype(jnp.int32)
+    wide = tier(WARP_MARGIN_WIDE) if hLocal >= WARP_MARGIN_WIDE else fallback
+    return jax.lax.switch(
+        idx, [tier(WARP_MARGIN), wide, fallback], img, flow
+    )
 
 
 def warpBounded(img, flow, padding_mode="border", fallback=None, interpret=False):

@@ -18,11 +18,17 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def haloExchange(x: jnp.ndarray, halo: int, axisName: str) -> jnp.ndarray:
+def haloExchange(
+    x: jnp.ndarray, halo: int, axisName: str, mode: str = "reflect"
+) -> jnp.ndarray:
     """Pad the local row-shard with ``halo`` rows from each neighbour.
 
-    x: (B, Hlocal, W, C) inside shard_map. Edge shards reflect-pad their
-    outer side (matching single-device reflect padding).
+    x: (B, Hlocal, W, C) inside shard_map.  At the global edges the
+    wrap-around neighbour rows are invalid and are replaced according to
+    ``mode``, matching what a single-device ``jnp.pad`` of the full
+    image would produce there: 'reflect' (conv stages), 'edge'
+    (border-mode warps), or 'zero' (zeros-mode warps / don't-care halos
+    that get cropped).
     """
     n = jax.lax.psum(1, axisName)
     idx = jax.lax.axis_index(axisName)
@@ -30,11 +36,19 @@ def haloExchange(x: jnp.ndarray, halo: int, axisName: str) -> jnp.ndarray:
     bot = x[:, -halo:]
     fromAbove = jax.lax.ppermute(bot, axisName, [(i, (i + 1) % n) for i in range(n)])
     fromBelow = jax.lax.ppermute(top, axisName, [(i, (i - 1) % n) for i in range(n)])
-    # wrap-around neighbours are invalid at the global edges: reflect
-    reflTop = x[:, 1 : halo + 1][:, ::-1]
-    reflBot = x[:, -halo - 1 : -1][:, ::-1]
-    fromAbove = jnp.where(idx == 0, reflTop, fromAbove)
-    fromBelow = jnp.where(idx == n - 1, reflBot, fromBelow)
+    if mode == "reflect":
+        edgeTop = x[:, 1 : halo + 1][:, ::-1]
+        edgeBot = x[:, -halo - 1 : -1][:, ::-1]
+    elif mode == "edge":
+        edgeTop = jnp.broadcast_to(x[:, :1], top.shape)
+        edgeBot = jnp.broadcast_to(x[:, -1:], bot.shape)
+    elif mode == "zero":
+        edgeTop = jnp.zeros_like(top)
+        edgeBot = jnp.zeros_like(bot)
+    else:
+        raise ValueError(mode)
+    fromAbove = jnp.where(idx == 0, edgeTop, fromAbove)
+    fromBelow = jnp.where(idx == n - 1, edgeBot, fromBelow)
     return jnp.concatenate([fromAbove, x, fromBelow], axis=1)
 
 
