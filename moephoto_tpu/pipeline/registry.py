@@ -34,6 +34,8 @@ def modelPath(rel: str) -> str:
     ``MOEPHOTO_REFERENCE_ROOT`` env) — no hidden mount dependency."""
     from moephoto_tpu.config import referenceRoot
 
+    if os.path.isabs(rel):  # explicit checkpoint path: use as-is
+        return rel
     rel = rel.lstrip("./")
     sub = rel[len("model/"):] if rel.startswith("model/") else rel
     candidates = [os.path.join(config.modelDir, sub), rel]

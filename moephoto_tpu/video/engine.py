@@ -72,6 +72,18 @@ lookaheadOf = lambda op: _temporalWindow(op)[1]
 
 
 def removeFile(path):
+    """Delete a consumed upload — but ONLY from the upload directory.
+
+    The reference unlinks the input unconditionally after processing
+    (video.py), which is correct for its upload flow but deletes
+    user-owned files whenever a caller passes a direct path with
+    ``by=''``.  Containment check added after this exact footgun
+    destroyed a read-only fixture (round 4): anything outside
+    ``config.uploadDir`` is the caller's property and is left alone."""
+    up = os.path.abspath(getattr(config, "uploadDir", "upload"))
+    if os.path.commonpath([up, os.path.abspath(path)]) != up:
+        log.info("Not removing non-upload input %s", path)
+        return
     try:
         os.remove(path)
     except FileNotFoundError:
