@@ -69,7 +69,10 @@ def makeStreamFunc(
     ``makeStreamFunc`` runSlomo.py:66-108).
 
     ``func`` is the downstream per-frame pipeline; ``sink`` is the list
-    the graph's final stage appends outputs to.
+    the graph's final stage appends outputs to.  Contract: ``func`` must
+    tolerate a single ``None`` call at end-of-stream (the forwarded
+    flush sentinel) by returning ``None`` — pipeline funcs built by
+    ``pipeline/steps.py`` are NonNullWrap'd and comply automatically.
     """
     for n in nodes:
         node.append(n)
@@ -107,6 +110,16 @@ def makeStreamFunc(
         res: List = []
         for item in out:
             extendRes(res, func(opt.unpad(item)))
+        if last:
+            # Forward the end-of-stream sentinel so a CHAINED temporal
+            # step (e.g. demob -> slomo) flushes its own graph too.  The
+            # reference's pull-generator design drains downstream stages
+            # through lookahead accounting alone (video.py:361-372 +
+            # runSlomo.py:66-108); our eager StreamGraph only emits a
+            # stage's tail under run(last=True), which this call
+            # triggers.  Plain per-frame funcs are NonNullWrap'd, so the
+            # sentinel passes through them as None harmlessly.
+            extendRes(res, func(None))
         return res
 
     return f

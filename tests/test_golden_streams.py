@@ -98,7 +98,7 @@ def test_estrnn_full_pipeline_golden(refEnv):
     opt.start = 2
     opt.end = -2
     mine = []
-    g = JE.doESTRNN(lambda x: [np.asarray(x)], Node({"op": "t"}), opt)
+    g = JE.doESTRNN(lambda x: None if x is None else [np.asarray(x)], Node({"op": "t"}), opt)
     for fr in frames:
         mine.extend(g(jnp.asarray(fr.transpose(1, 2, 0))))
     mine.extend(g(None))
@@ -157,7 +157,7 @@ def test_ifrnet_full_pipeline_golden(refEnv):
     opt.dedupe = False
     opt.ensemble = 0
     mine = []
-    g = JI.doSlomo(lambda x: [np.asarray(x)], Node({"op": "t"}), opt)
+    g = JI.doSlomo(lambda x: None if x is None else [np.asarray(x)], Node({"op": "t"}), opt)
     for fr in frames:
         mine.extend(g(jnp.asarray(fr.transpose(1, 2, 0))))
     mine.extend(g(None))
@@ -252,7 +252,7 @@ def test_iconvsr_full_pipeline_golden(refEnv, h, w, n):
     JV.trunkApply = lambda p, prefix, x, numBlocks=2: origTrunk(p, prefix, x, 2)
     try:
         mine = []
-        g = JV.doVSR(lambda x: [np.asarray(x)], Node({"op": "t"}), opt)
+        g = JV.doVSR(lambda x: None if x is None else [np.asarray(x)], Node({"op": "t"}), opt)
         for fr in frames:
             mine.extend(g(jnp.asarray(fr.transpose(1, 2, 0))))
         opt.end = -3
@@ -323,7 +323,7 @@ def test_ifrnet_flow_ensemble_golden(refEnv):
     opt.dedupe = False
     opt.ensemble = 5
     mine = []
-    g = JI.doSlomo(lambda x: [np.asarray(x)], Node({"op": "t"}), opt)
+    g = JI.doSlomo(lambda x: None if x is None else [np.asarray(x)], Node({"op": "t"}), opt)
     for fr in frames:
         mine.extend(g(jnp.asarray(fr.transpose(1, 2, 0))))
     mine.extend(g(None))

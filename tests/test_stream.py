@@ -103,7 +103,7 @@ def test_estrnn_stream_graph():
     opt.dtype = jnp.float32
 
     outs = []
-    f = JE.doESTRNN(lambda x: [np.asarray(x)], Node({"op": "test"}), opt)
+    f = JE.doESTRNN(lambda x: None if x is None else [np.asarray(x)], Node({"op": "test"}), opt)
     n = 8
     rng = np.random.RandomState(0)
     frames = [rng.rand(32, 32, 3).astype(np.float32) for _ in range(n)]
@@ -148,7 +148,7 @@ def test_estrnn_stream_with_padding():
     opt.start = 2  # lookback (video.py:37: past_frames)
     opt.end = -2
     outs = []
-    f = JE.doESTRNN(lambda x: [np.asarray(x)], Node({"op": "test"}), opt)
+    f = JE.doESTRNN(lambda x: None if x is None else [np.asarray(x)], Node({"op": "test"}), opt)
     n = 6
     rng = np.random.RandomState(0)
     for i in range(n):
@@ -202,7 +202,7 @@ def test_ifrnet_stream_graph():
     opt.ensemble = 0
 
     outs = []
-    f = JI.doSlomo(lambda x: [np.asarray(x)], Node({"op": "test"}), opt)
+    f = JI.doSlomo(lambda x: None if x is None else [np.asarray(x)], Node({"op": "test"}), opt)
     n = 5
     rng = np.random.RandomState(0)
     for i in range(n):
@@ -261,7 +261,7 @@ def test_iconvsr_stream_graph():
     mod_iconvsr.trunkApply = lambda p, prefix, x, numBlocks=2: origTrunk(p, prefix, x, 2)
     try:
         outs = []
-        f = JV.doVSR(lambda x: [np.asarray(x)], Node({"op": "test"}), opt)
+        f = JV.doVSR(lambda x: None if x is None else [np.asarray(x)], Node({"op": "test"}), opt)
         n = 8
         rng = np.random.RandomState(0)
         for i in range(n):
@@ -320,7 +320,7 @@ def test_ifrnet_dedupe_paths():
         opt.dedupeHigh = high
         opt.ensemble = 0
         outs = []
-        f = JI.doSlomo(lambda x: [np.asarray(x)], Node({"op": "test"}), opt)
+        f = JI.doSlomo(lambda x: None if x is None else [np.asarray(x)], Node({"op": "test"}), opt)
         for fr in frames:
             outs.extend(f(jnp.asarray(fr)))
         outs.extend(f(None))
