@@ -129,9 +129,12 @@ def makeAiLUT(nRanks: int = 3, nVertices: int = 33, backbone: str = "tpami"):
                     imgs, luts, vertices, interpret=pm == "interpret"
                 )
         elif not onCpu:
-            from moephoto_tpu.ops.lutkernel import ailutTransformPallas
+            # lanes-major variant: dense (3, T) pixel DMAs instead of
+            # (T, 3) blocks at 3/128 lane fill — 14.7 -> 10.4 ms @1080p
+            # (round-4 chip A/B, ops/lutkernel.py _TLX note)
+            from moephoto_tpu.ops.lutkernel import ailutTransformPallasT
 
-            return ailutTransformPallas(imgs, luts, vertices)
+            return ailutTransformPallasT(imgs, luts, vertices)
         return ailutTransform(imgs, luts, vertices)
 
     return apply

@@ -101,7 +101,13 @@ def _lutKernel(D, C, imgRef, tabRef, lutRef, selRef, eBRef, eGRef, eRRef, outRef
     outRef[...] = out.astype(outRef.dtype)
 
 
-_TLX = 512  # pixels (lanes) per program for the lanes-major variant
+# pixels (lanes) per program for the lanes-major variant.  Round-4 chip
+# sweep @1080p: 512 -> 11.61 ms, 1024 -> 10.99, 2048 -> 10.64,
+# 4096 -> 10.40 (amortizes per-program overhead; the constant-block LUT
+# operands hoist, so VMEM stays ~small).  A sublane repeat/tile wgb
+# construction (replacing the two f32 expansion dots) measured SLOWER
+# (11.5 ms) — Mosaic sublane repeats cost more than the MXU dots.
+_TLX = 4096
 
 
 def _lutKernelT(D, C, imgRef, tabRef, lutRef, selRef, eBRef, eGRef, eRRef, outRef):
@@ -224,7 +230,7 @@ def ailutTransformPallasSpmd(
         return ailutTransform(img, lut, vertices)
 
     def local(a, l, v):
-        return ailutTransformPallas(a, l, v, interpret=interpret)
+        return ailutTransformPallasT(a, l, v, interpret=interpret)
 
     return jax.shard_map(
         local,
