@@ -176,6 +176,10 @@ def benchDetail():
         # backward-chunk schedule (the 14-frame row keeps round-1/2
         # comparability; real clips amortize per-clip boundary work)
         ("video_IconVSR_4x_360p_45f", lambda: _benchIconVSR(n=45)),
+        # BASELINE config 5: real-media end-to-end through the
+        # production engine + OpenCV-backed codec shim (no ffmpeg binary
+        # or egress here — see _benchRealClip docstring)
+        ("video_e2e_realclip", _benchRealClip),
     ):
         try:
             r = fn()
@@ -549,10 +553,13 @@ def _benchSEDN(h=1080, w=1920):
     return round(h * w / 1e6 / ((time.perf_counter() - t0) / 4), 3)
 
 
-def _benchESTRNN(h=720, w=1280, n=44, warm=20):
+def _benchESTRNN(h=720, w=1280, n=72, warm=24):
     # warm must cover every stream-stage batch shape: late shapes would
     # otherwise compile inside the timed window (first-run 6.9 vs
-    # steady-state 17.4 Mpx/s)
+    # steady-state 17.4 Mpx/s).  warm=24 / 16-frame groups align with
+    # the 8-frame stage-chunk cadence (the IFRNet spread fix, round 3):
+    # warm=20 straddled a chunk boundary and left the largest spread in
+    # the sweep (5.3% — VERDICT round-3 weak #5 / task 8)
     import jax
     import jax.numpy as jnp
 
@@ -578,12 +585,14 @@ def _benchESTRNN(h=720, w=1280, n=44, warm=20):
     return _medianRow([cnt * h * w / 1e6 / dt for dt, cnt in dts])
 
 
-def _benchIFRNet(h=720, w=1280, n=72, warm=24):
+def _benchIFRNet(h=720, w=1280, n=80, warm=32):
     # round-2 passes rose monotonically (8.4 -> 9.3, 10.9% spread):
     # warm=20 left warm-up inside the first timed group and 8-frame
     # groups beat against the 8-frame stage-chunk cadence.  warm=24
-    # (3 full chunk cycles) + 16-frame groups (2 chunks each) measure
-    # steady state only.
+    # (3 full chunk cycles) + 16-frame groups (2 chunks each) measured
+    # steady state — mostly: the round-4 sweep still had pass 1 at
+    # 15.18 vs 15.67/15.69 (3.3% spread, above the <=3% bar), so warm
+    # is now 32 (4 cycles).
     import jax
     import jax.numpy as jnp
 
@@ -730,6 +739,126 @@ def _benchIconVSR(h=360, w=640, n=14, warm=0):
         dt, outs = fullRun()
         rates.append(outs * h * w / 1e6 / dt)
     return _medianRow(rates)
+
+
+def _benchRealClip(passes=3):
+    """BASELINE config 5 analog on REAL media end to end: the production
+    video engine (probe/pipes/drain threads/mux — video/engine.py)
+    decodes tests/data/shortclip.mp4 (36 frames 320x240, a real mp4v
+    container), runs demob (ESTRNN) -> slomo x2 (IFRNet) and encodes a
+    playable mp4.  ffmpeg has no binary here and no egress to fetch one
+    (docs/PERF.md); the subprocess seam runs tools/cvffmpeg.py — the
+    same CLI surface, real decode/encode via OpenCV.  Asserts the output
+    container re-decodes with exactly 2*36-1 frames each pass.
+    Reference: video.py:323-397, test/test-video.py:1-17."""
+    import shutil
+    import tempfile
+
+    import cv2
+
+    from moephoto_tpu.config import config
+    from moephoto_tpu.models import estrnn as JE
+    from moephoto_tpu.models import ifrnet as JI
+    from moephoto_tpu.runtime.context import context
+    import moephoto_tpu.video.engine as E
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    fixture = os.path.join(root, "tests", "data", "shortclip.mp4")
+    script = os.path.join(root, "tools", "cvffmpeg.py")
+
+    RE, RI = _refModules()
+    import torch
+
+    torch.manual_seed(7)
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+    ePath = os.path.join(tmp, "estrnn.pth")
+    torch.save(
+        {"cell": RE.RDBCell(RE.para).state_dict(),
+         "fusion": RE.GSA(RE.para).state_dict(),
+         "recons": RE.Reconstructor().state_dict()},
+        ePath,
+    )
+    chs = RI.Channels["S"]
+    iPath = os.path.join(tmp, "ifrnet.pth")
+    torch.save(
+        {"encoder": RI.IFRNetEncoder(None, chs, 1e-3).state_dict(),
+         "decoder": RI.IFRNetDecoder(None, chs, RI.SideChannels["S"], 0, 1e-3).state_dict()},
+        iPath,
+    )
+
+    class _Flag:
+        _s = False
+
+        def is_set(self):
+            return self._s
+
+        def set(self):
+            self._s = True
+
+        def clear(self):
+            self._s = False
+
+    saved = (config.ffmpegPath, getattr(config, "uploadDir", None),
+             E.sp.Popen, JE.modelPaths.get("1ms8ms"), JI.modelPaths.get("S"),
+             context.stopFlag, getattr(context, "notifier", None))
+    origPopen = E.sp.Popen
+
+    def patched(cmd, **kw):
+        if cmd and cmd[0] == sys.executable:
+            cmd = [sys.executable, script] + list(cmd[1:])
+        return origPopen(cmd, **kw)
+
+    nIn = 36
+    try:
+        config.ffmpegPath = sys.executable
+        upDir = os.path.join(tmp, "upload")
+        os.makedirs(upDir, exist_ok=True)
+        config.uploadDir = upDir
+        E.sp.Popen = patched
+        JE.modelPaths["1ms8ms"] = ePath
+        JI.modelPaths["S"] = iPath
+        context.stopFlag = _Flag()
+        context.notifier = None
+
+        def onePass(idx):
+            vid = os.path.join(upDir, "shortclip.mp4")
+            shutil.copyfile(fixture, vid)
+            outFile = os.path.join(tmp, f"out{idx}.mp4")
+            steps = [
+                {"op": "decode"},
+                {"op": "demob", "model": "1ms8ms"},
+                {"op": "slomo", "model": "IFRNet S", "sf": 2},
+                {"op": "output", "file": outFile, "frameRate": 60,
+                 "codec": "mpeg4"},
+            ]
+            t0 = time.perf_counter()
+            path, nFrames = E.SR_vid(vid, "", *steps)
+            dt = time.perf_counter() - t0
+            cap = cv2.VideoCapture(path)
+            assert cap.isOpened(), "output not a playable container"
+            nOut = 0
+            while cap.read()[0]:
+                nOut += 1
+            cap.release()
+            assert nOut == 2 * nIn - 1, (nOut, nFrames)
+            return dt
+
+        onePass(0)  # compile/warm pass
+        rates = []
+        for p in range(passes):
+            dt = onePass(p + 1)
+            rates.append(nIn * 320 * 240 / 1e6 / dt)
+        row = _medianRow(rates)
+        row["frames_out"] = 2 * nIn - 1
+        return row
+    finally:
+        config.ffmpegPath, config.uploadDir, E.sp.Popen = saved[:3]
+        context.stopFlag, context.notifier = saved[5:]
+        if saved[3] is not None:
+            JE.modelPaths["1ms8ms"] = saved[3]
+        if saved[4] is not None:
+            JI.modelPaths["S"] = saved[4]
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _claimGuard(totalS=3600, probeS=120, sleepS=180):

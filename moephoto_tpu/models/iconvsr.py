@@ -450,6 +450,30 @@ def _forwardScanPairsUp(
     return _upsampleChunk(params, inp, outs), fpOut
 
 
+def _backwardScanPairsEdvr(
+    params, inp, pairs, clipsFlat, kfIdx, kfMask, warpMask, validMask
+):
+    """EDVR keyframe features + SpyNet flows + backward recurrence in
+    ONE program (2 dispatches/clip with the forward program — VERDICT
+    round-3 task 4; EDVR math is `_edvrChunk` unchanged, so outputs are
+    identical to the separate-dispatch path).
+
+    clipsFlat (Bk*RefTime, H, W, 3): the chunk's keyframe clips stacked
+    flat on the host (ONE device stack instead of Bk+1 nested ones);
+    kfIdx maps each frame to 1 + its keyframe rank (0 = no keyframe).
+    Returns (scan outs (T, H, W, C), kfFeats (Bk, H, W, C)) — the feats
+    feed the forward program's fusion without re-running EDVR.
+    """
+    clips = clipsFlat.reshape((-1, RefTime) + clipsFlat.shape[1:])
+    kfFeats = _edvrChunk(params, clips)  # (Bk, H, W, NumFeat)
+    kfStack = jnp.concatenate([jnp.zeros_like(kfFeats[:1]), kfFeats])
+    flows = spynetApply(params, pairs).astype(jnp.float32)
+    outs = _backwardScan(
+        params, inp, flows, kfStack, kfIdx, kfMask, warpMask, validMask
+    )
+    return outs, kfFeats
+
+
 # stage jits at module level: compiled executables are shared across
 # graph instances, so rebuilding the pipeline per video task (worker
 # behavior) costs no re-trace/re-compile for repeated shapes.
@@ -499,6 +523,11 @@ bScanPairsJit = stageJit(
 fScanPairsUpJit = stageJit(
     _forwardScanPairsUp,  # (params, featProp, inp, bwd, pairs, kfStack, idx/masks)
     (None, 1, 1, 1, 2, 1, None, None, None, None),
+    outHAxes=(1, 1),
+)
+bScanPairsEdvrJit = stageJit(
+    _backwardScanPairsEdvr,  # (params, inp, pairs, clipsFlat(Bk*7,H..), idx/masks)
+    (None, 1, 2, 1, None, None, None, None),
     outHAxes=(1, 1),
 )
 # upsample sub-batch: lax.map over B=4 slabs keeps only ~4.8 GB of
@@ -554,6 +583,44 @@ def _packOptional(items, n, T, shape, dtype):
     return jnp.stack(stack), jnp.asarray(idx), jnp.asarray(mask)
 
 
+def _packOptionalRuns(items, n, T, shape, dtype):
+    """``_packOptional`` for lazy (ref, row)-tuple items: same
+    (stack (K+1, *shape), idx (T,), mask (T,)) contract (row 0 a zero
+    filler), but contiguous rows of the same source array merge into
+    single slices — a chunk's keyframe features all come from ONE
+    backward-program output, so this is ~2 device ops instead of K
+    slice + stack eager RPCs (the stackRuns rule, engine/stream.py)."""
+    idx = np.zeros(T, np.int32)
+    mask = np.zeros(T, bool)
+    parts = [jnp.zeros((1,) + tuple(shape), dtype)]
+    run = None  # (ref, start, stop)
+    count = 1
+
+    def flushRun():
+        nonlocal run
+        if run is not None:
+            ref, a, b = run
+            seg = ref if (a, b) == (0, ref.shape[0]) else ref[a:b]
+            parts.append(seg if seg.dtype == dtype else seg.astype(dtype))
+            run = None
+
+    for i, it in enumerate(items[:n]):
+        if it is None:
+            continue
+        ref, r = it
+        idx[i] = count
+        mask[i] = True
+        count += 1
+        if run is not None and run[0] is ref and run[2] == r:
+            run = (ref, run[1], r + 1)
+        else:
+            flushRun()
+            run = (ref, r, r + 1)
+    flushRun()
+    stack = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return stack, jnp.asarray(idx), jnp.asarray(mask)
+
+
 def _padBatch(arr, T, dtype):
     n = arr.shape[0]
     arr = arr.astype(dtype)
@@ -597,25 +664,16 @@ def doVSR(func, node, opt: VSROpt):
     sinkList: List = []
 
     def kfStage(windows, isKey, last=None):
-        # batch every keyframe in the popped span into ONE EDVR call:
-        # the reference runs EDVR per keyframe (videoSR.py:381-401); the
-        # per-sample math is independent, so stacking is bit-equal and
-        # saves a ~31 ms tunnel dispatch per extra keyframe (the 45-frame
-        # golden in tests/test_golden_streams.py pins equality)
-        out = [None] * len(windows)
-        idxs = [
-            i
-            for i, (wFrames, b) in enumerate(zip(windows, isKey))
-            if b and len(wFrames) == RefTime
+        # pure item bookkeeping: emit each keyframe's RefTime-frame clip
+        # window (a host list) or None.  EDVR itself runs INSIDE the
+        # backward program (bScanPairsEdvrJit) — the reference runs it
+        # per keyframe as its own dispatch (videoSR.py:381-401); folding
+        # it keeps the math identical (same _edvrChunk on the same
+        # clips) at 2 dispatches/clip total (VERDICT round-3 task 4)
+        return [
+            list(wFrames) if (b and len(wFrames) == RefTime) else None
+            for wFrames, b in zip(windows, isKey)
         ]
-        if idxs:
-            clips = jnp.stack(
-                [jnp.stack(windows[i]) for i in idxs]
-            ).astype(opt.dtype)  # (Bk, 7, H, W, 3)
-            feats = edvrJit(opt.params, clips)
-            for j, i in enumerate(idxs):
-                out[i] = feats[j]
-        return out
 
     tailState = {"flowNone": False, "backPad": False}
 
@@ -643,7 +701,7 @@ def doVSR(func, node, opt: VSROpt):
         out.extend(pairs)
         return out
 
-    def calcBackward(inp, flowInp, keyframeFeat, last=None):
+    def calcBackward(inp, flowInp, keyframeClips, last=None):
         if inp is None:  # flush call: emit only the tail pads
             if tailState["backPad"]:
                 return None
@@ -658,25 +716,53 @@ def doVSR(func, node, opt: VSROpt):
         # per distinct tail length)
         T = min(n, BackwardChunk)
         pairStack = _stackPairs(flowInp, n, T, (h, w, 3), opt.dtype)
-        kfStack, kfIdx, kfMask = _packOptional(
-            keyframeFeat, n, T, (h, w, NumFeat), opt.dtype
-        )
+        kfIdx = np.zeros(T, np.int32)
+        kfMask = np.zeros(T, bool)
+        kfPos: List[int] = []
+        for i, c in enumerate(keyframeClips[:n]):
+            if c is not None:
+                kfIdx[i] = len(kfPos) + 1
+                kfMask[i] = True
+                kfPos.append(i)
         warpM = np.zeros(T, bool)
         warpM[:n] = True
         if last:
             warpM[n - 1] = False  # no flow past the final frame
         validM = np.zeros(T, bool)
         validM[:n] = True
-        outs = bScanPairsJit(
-            opt.params,
-            _padBatch(inp, T, opt.dtype),
-            pairStack,
-            kfStack,
-            kfIdx,
-            kfMask,
-            jnp.asarray(warpM),
-            jnp.asarray(validM),
-        )
+        if kfPos:
+            # ONE flat host stack of the span's keyframe clips; EDVR +
+            # SpyNet + the reverse scan run as a single program, which
+            # also returns the keyframe feats for the forward fusion
+            flat = jnp.stack(
+                [f for i in kfPos for f in keyframeClips[i]]
+            ).astype(opt.dtype)  # (Bk*RefTime, H, W, 3)
+            outs, kfFeats = bScanPairsEdvrJit(
+                opt.params,
+                _padBatch(inp, T, opt.dtype),
+                pairStack,
+                flat,
+                jnp.asarray(kfIdx),
+                jnp.asarray(kfMask),
+                jnp.asarray(warpM),
+                jnp.asarray(validM),
+            )
+        else:  # keyframe-less span (short tails): plain scan program
+            outs = bScanPairsJit(
+                opt.params,
+                _padBatch(inp, T, opt.dtype),
+                pairStack,
+                jnp.zeros((1, h, w, NumFeat), opt.dtype),
+                jnp.asarray(kfIdx),
+                jnp.asarray(kfMask),
+                jnp.asarray(warpM),
+                jnp.asarray(validM),
+            )
+            kfFeats = None
+        featItems: List = [None] * n
+        for rank, i in enumerate(kfPos):
+            featItems[i] = (kfFeats, rank)
+        keyframeFeatFwd.put(featItems)
         out = [(outs, i) for i in range(n)]
         if last and not tailState["backPad"]:
             # 2 empties so the tail windows fill (videoSR.py:420-421)
@@ -698,7 +784,7 @@ def doVSR(func, node, opt: VSROpt):
         pairStack = _stackPairs(flowInp, n, T, (h, w, 3), opt.dtype)
         flowM = np.zeros(T, bool)
         flowM[:n] = [f is not None for f in flowInp[:n]]
-        kfStack, kfIdx, kfMask = _packOptional(
+        kfStack, kfIdx, kfMask = _packOptionalRuns(
             keyframeFeat, n, T, (h, w, NumFeat), opt.dtype
         )
         validM = np.zeros(T, bool)
@@ -742,9 +828,11 @@ def doVSR(func, node, opt: VSROpt):
     keyframeFeatureInp = Stream(
         RefTime, tensor=False, reserve=1, batchFunc=listB, name="kfInp"
     )
-    keyframeFeatureS = Stream(tensor=False, batchFunc=listB, name="kf")
-    keyframeFeature1 = Stream(tensor=False, batchFunc=listB, name="kf1")
-    keyframeFeature2 = Stream(tensor=False, batchFunc=listB, name="kf2")
+    keyframeClipsS = Stream(tensor=False, batchFunc=listB, name="kfClips")
+    # keyframe EDVR feats, computed INSIDE the backward program and fed
+    # forward as lazy (ref, row) items (calcBackward closure-puts them —
+    # Stage outs broadcast one value, and this is a second output)
+    keyframeFeatFwd = Stream(tensor=False, batchFunc=listB, name="kfFeatF")
     flowBackward = Stream(tensor=False, batchFunc=listB, name="flowB")
     backward = Stream(3, tensor=False, batchFunc=listB, name="backward")
     flowForward = Stream(tensor=False, batchFunc=listB, name="flowF")
@@ -756,14 +844,13 @@ def doVSR(func, node, opt: VSROpt):
     graph.stage(
         nodes[0].bindFunc(kfStage),
         [keyframeFeatureInp, isKeyFrame],
-        [keyframeFeatureS],
-        # pop 10 windows per advance: at the reference's keyframe cadence
-        # of 5 that gathers 4 EDVR clips into ONE dispatch (the program
-        # lax.maps over B=2 slabs — PCD's ~2.2 GB/clip of L1 activations
-        # caps the live batch)
+        [keyframeClipsS],
+        # pop whole spans so calcBackward sees every keyframe clip of
+        # its chunk (at the reference's keyframe cadence of 5 that is 4
+        # EDVR clips per span, lax.map'd over B=2 slabs in-program —
+        # PCD's ~2.2 GB/clip of L1 activations caps the live batch)
         size=BackwardChunk,
     )
-    graph.tee(keyframeFeatureS, [keyframeFeature1, keyframeFeature2])
     graph.stage(
         nodes[1].bindFunc(calcFlowBackward), [flowBackwardInp], [flowBackward],
         # batch SpyNet pairs (ref schedules 1 at a time); 20 aligns the
@@ -773,7 +860,7 @@ def doVSR(func, node, opt: VSROpt):
     )
     graph.stage(
         nodes[2].bindFunc(calcBackward),
-        [backwardInp, flowBackward, keyframeFeature1],
+        [backwardInp, flowBackward, keyframeClipsS],
         [backward],
         size=BackwardChunk,
         flushOnce=True,
@@ -784,7 +871,7 @@ def doVSR(func, node, opt: VSROpt):
     )
     graph.stage(
         nodes[4].bindFunc(calcForward),
-        [inp1, flowForward, keyframeFeature2, backward],
+        [inp1, flowForward, keyframeFeatFwd, backward],
         [upsampleS],
         size=ForwardChunk,
     )
