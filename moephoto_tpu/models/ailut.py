@@ -87,10 +87,24 @@ def makeAiLUT(nRanks: int = 3, nVertices: int = 33, backbone: str = "tpami"):
     def apply(params: Params, imgs: jnp.ndarray) -> jnp.ndarray:
         b = imgs.shape[0]
         codes = resizeBilinear(imgs, inputSize[0], inputSize[1])
-        if backbone == "tpami":
-            feat = _tpamiBackbone(params, codes, extraPooling=True)
-        else:
-            feat = _res18Backbone(params, codes)
+        # the backbone traces at precision 'highest' REGARDLESS of the
+        # session default: AiLUT is fp32 by design (reference AiLUT.py:
+        # 157) and the codes drive LUT GENERATION — default-precision
+        # TPU convs truncate f32 operands to bf16, and a ~0.2% code
+        # perturbation moves LUT slopes enough to cost ~2 dB through
+        # the chain-4 gate (docs/PERF.md round-4 attribution).  The net
+        # is 5 convs on a fixed 256px input; the cost is negligible.
+        from moephoto_tpu.models.api import getPrecision, setPrecision
+
+        prev = getPrecision()
+        setPrecision("highest")
+        try:
+            if backbone == "tpami":
+                feat = _tpamiBackbone(params, codes, extraPooling=True)
+            else:
+                feat = _res18Backbone(params, codes)
+        finally:
+            setPrecision(prev)
         feat = feat.astype(jnp.float32)
         # torch flattens NCHW as (C, H, W); permute before flattening
         codesVec = jnp.transpose(feat, (0, 3, 1, 2)).reshape(b, -1)
@@ -106,9 +120,11 @@ def makeAiLUT(nRanks: int = 3, nVertices: int = 33, backbone: str = "tpami"):
         # runs keep the exact XLA transform.  Row-sharded SPMD stage
         # traces keep the Pallas tier via the shard_map'd wrapper
         # (pointwise — no halo; ops/lutkernel.ailutTransformPallasSpmd).
-        # Semantics note: the kernel clamps inputs to the vertex range
-        # where the CUDA reference extrapolates — identical for in-range
-        # [0, 1] retouch images.
+        # Semantics note: the lanes-major kernel EXTRAPOLATES outside
+        # the vertex range exactly like the CUDA reference (edge-row
+        # clip-bound tables, ops/lutkernel.py) — this matters because
+        # upstream stages (AOD dehaze) emit unclipped values; the
+        # legacy pixel-major kernel still clamps.
         from moephoto_tpu.parallel.temporal import pallasSpmdMode, spmdTracing
 
         # AiLUT is fp32 by design (reference pins it — AiLUT.py:157), so

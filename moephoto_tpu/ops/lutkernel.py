@@ -110,41 +110,75 @@ def _lutKernel(D, C, imgRef, tabRef, lutRef, selRef, eBRef, eGRef, eRRef, outRef
 _TLX = 4096
 
 
-def _lutKernelT(D, C, imgRef, tabRef, lutRef, selRef, eBRef, eGRef, eRRef, outRef):
+def _lutKernelT(D, C, exact, imgRef, tabRef, lutRef, selRef, tabGBRef, tabRRef, outRef):
     """Lanes-major twin of _lutKernel: pixels ride the LANE axis so the
     image/output DMAs are dense (the pixel-major kernel moves (T, 3)
-    blocks at 3/128 lane fill).  Same math, every operand transposed."""
-    rgb = imgRef[...].astype(jnp.float32)  # (3, T)
-    lo = tabRef[0:1, 9:10]
-    hi = tabRef[0:1, 10:11]
-    r = jnp.clip(rgb[0:1, :], lo, hi)
-    g = jnp.clip(rgb[1:2, :], lo, hi)
-    b = jnp.clip(rgb[2:3, :], lo, hi)
+    blocks at 3/128 lane fill).
 
-    def hats(x, c0):  # (1, T) vs (D, 1) vertex columns -> (D, T)
-        vPrev = tabRef[:, c0 : c0 + 1]
-        vCur = tabRef[:, c0 + 1 : c0 + 2]
-        vNext = tabRef[:, c0 + 2 : c0 + 3]
-        up = jnp.clip((x - vPrev) / (vCur - vPrev), 0.0, 1.0)
-        dn = jnp.clip((vNext - x) / (vNext - vCur), 0.0, 1.0)
+    Hat weights are evaluated DIRECTLY at their expanded row positions
+    against host-built (D*D, 16)/(C*D, 8) vertex tables — pure f32 VPU
+    ops — instead of (D, T) hats pushed through 0/1 expansion-matrix
+    MXU dots: on TPU a dot truncates its f32 operand to bf16 regardless
+    of dtype (default matmul precision; measured 6.3e-3 maxabs on chip
+    while interpret mode shows 7e-6), and exact-f32 sublane-broadcast
+    expansion measured 36.4 ms @1080p.
+
+    ``exact``: run the main (C*D, D*D)@(D*D, T) contraction as a bf16x2
+    hi/lo split (3 MXU passes, lo*lo ~2^-18 dropped) and the final
+    C-selection likewise — ~f32 accuracy end to end.  fp32 images take
+    it by default: the reference pins AiLUT to fp32 (AiLUT.py:157), so
+    this IS the production retouch path.  bf16 images keep the single
+    bf16 dot (the operands carry bf16 error already)."""
+    rgb = imgRef[...].astype(jnp.float32)  # (3, T)
+    r = rgb[0:1, :]
+    g = rgb[1:2, :]
+    b = rgb[2:3, :]
+
+    def hats(tRef, x, c0):  # (1, T) vs (R, 1) vertex columns -> (R, T)
+        # per-row clip BOUNDS (columns c0+4..c0+7) encode the CUDA
+        # algorithm's out-of-range EXTRAPOLATION (ailut_transform_cuda
+        # .cu:88-159 computes an unclamped fraction in the clamped edge
+        # bin): row 0's dn may exceed 1 (x < v0 -> weight 1-f > 1),
+        # row 1's up may go negative (weight f < 0), and symmetrically
+        # rows D-1/D-2 on the high side; every interior row keeps the
+        # standard [0, 1] hat clips.  The old kernel clamped x into the
+        # vertex range instead, which silently diverged on unclipped
+        # upstream stages (AOD output) — the 39.41 dB chain-4 finding.
+        vPrev = tRef[:, c0 : c0 + 1]
+        invUp = tRef[:, c0 + 1 : c0 + 2]
+        vNext = tRef[:, c0 + 2 : c0 + 3]
+        invDn = tRef[:, c0 + 3 : c0 + 4]
+        upLo = tRef[:, c0 + 4 : c0 + 5]
+        upHi = tRef[:, c0 + 5 : c0 + 6]
+        dnLo = tRef[:, c0 + 6 : c0 + 7]
+        dnHi = tRef[:, c0 + 7 : c0 + 8]
+        up = jnp.clip((x - vPrev) * invUp, upLo, upHi)
+        dn = jnp.clip((vNext - x) * invDn, dnLo, dnHi)
         return up + dn - 1.0
 
-    wR = hats(r, 0)
-    wG = hats(g, 3)
-    wB = hats(b, 6)
+    wgb = hats(tabGBRef, b, 0) * hats(tabGBRef, g, 8)  # (DD, T)
+    wRfull = hats(tabRRef, r, 0)  # (CD, T)
 
-    dot = lambda a_, b_: lax.dot_general(
-        a_, b_, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    wgb = dot(eBRef[...], wB) * dot(eGRef[...], wG)  # (DD, T)
-    a = jnp.dot(
-        lutRef[...].astype(jnp.bfloat16),
-        wgb.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )  # (C*D, T)
-    out = jnp.dot(
-        selRef[...], a * dot(eRRef[...], wR), preferred_element_type=jnp.float32
-    )  # (C, T)
+    mm = lambda x_, y_: jnp.dot(x_, y_, preferred_element_type=jnp.float32)
+    if exact:
+        lutF = lutRef[...]
+        lutHi = lutF.astype(jnp.bfloat16)
+        lutLo = (lutF - lutHi.astype(jnp.float32)).astype(jnp.bfloat16)
+        wHi = wgb.astype(jnp.bfloat16)
+        wLo = (wgb - wHi.astype(jnp.float32)).astype(jnp.bfloat16)
+        a = mm(lutHi, wHi) + (mm(lutHi, wLo) + mm(lutLo, wHi))  # (C*D, T)
+        aw = a * wRfull  # (C*D, T)
+        awHi = aw.astype(jnp.bfloat16)
+        awLo = (aw - awHi.astype(jnp.float32)).astype(jnp.bfloat16)
+        sel16 = selRef[...].astype(jnp.bfloat16)
+        out = mm(sel16, awHi) + mm(sel16, awLo)  # (C, T)
+    else:
+        a = jnp.dot(
+            lutRef[...].astype(jnp.bfloat16),
+            wgb.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )  # (C*D, T)
+        out = mm(selRef[...], a * wRfull)  # (C, T)
     outRef[...] = out.astype(outRef.dtype)
 
 
@@ -153,25 +187,28 @@ def ailutTransformPallasT(
     lut: jnp.ndarray,  # (B, C, D, D, D) red-minor
     vertices: jnp.ndarray,  # (B, 3, D) sorted
     interpret: bool = False,
+    exact: bool = None,
 ) -> jnp.ndarray:
     """Lanes-major ailutTransformPallas (pixels along lanes; one XLA
-    transpose each way).  Numerics identical to the pixel-major kernel."""
+    transpose each way).  ``exact`` (default: img is fp32) selects the
+    bf16x2 split main dot — see _lutKernelT."""
     B, H, W, _ = img.shape
     C = lut.shape[1]
     D = lut.shape[-1]
     N = H * W
     Np = -(-N // _TLX) * _TLX
     f32 = jnp.float32
+    if exact is None:
+        exact = img.dtype == f32
 
     selT = (
         lax.broadcasted_iota(jnp.int32, (C, C * D), 1) // D
         == lax.broadcasted_iota(jnp.int32, (C, C * D), 0)
     ).astype(f32)
     lanes = np.arange(D * D)
-    eBT = jnp.asarray((lanes[:, None] // D == np.arange(D)).astype(np.float32))
-    eGT = jnp.asarray((lanes[:, None] % D == np.arange(D)).astype(np.float32))
-    lanesC = np.arange(C * D)
-    eRT = jnp.asarray((lanesC[:, None] % D == np.arange(D)).astype(np.float32))
+    iB = lanes // D  # static row->B-vertex index
+    iG = lanes % D
+    iR = np.arange(C * D) % D
 
     outs = []
     for bi in range(B):
@@ -182,17 +219,43 @@ def ailutTransformPallasT(
             lut[bi].astype(f32).transpose(0, 3, 1, 2).reshape(C * D, D * D)
         )
         tabT = _tables(vertices[bi], D).T  # (D, 11)
+
+        # expanded hat tables: [vPrev, 1/(vCur-vPrev), vNext,
+        # 1/(vNext-vCur), upLo, upHi, dnLo, dnHi] per kernel row
+        # (static gathers; reciprocals host-side so the kernel
+        # multiplies instead of dividing — <=2 ulp vs the XLA
+        # transform's division).  The clip-bound columns relax specific
+        # edge-row clips to reproduce the CUDA algorithm's linear
+        # extrapolation outside the vertex range (see _lutKernelT).
+        def hatCols(c0, idx):
+            vP, vC, vN = tabT[:, c0], tabT[:, c0 + 1], tabT[:, c0 + 2]
+            Dv = tabT.shape[0]
+            upLo = np.zeros(Dv, np.float32)
+            upLo[1] = -_BIG  # row 1: weight f may go negative below v0
+            upHi = np.ones(Dv, np.float32)
+            upHi[Dv - 1] = _BIG  # row D-1: weight g may exceed 1
+            dnLo = np.zeros(Dv, np.float32)
+            dnLo[Dv - 2] = -_BIG  # row D-2: weight 1-g may go negative
+            dnHi = np.ones(Dv, np.float32)
+            dnHi[0] = _BIG  # row 0: weight 1-f may exceed 1
+            return [
+                vP[idx], (1.0 / (vC - vP))[idx], vN[idx], (1.0 / (vN - vC))[idx],
+                jnp.asarray(upLo[idx]), jnp.asarray(upHi[idx]),
+                jnp.asarray(dnLo[idx]), jnp.asarray(dnHi[idx]),
+            ]
+
+        tabGB = jnp.stack(hatCols(6, iB) + hatCols(3, iG), axis=1)  # (DD, 16)
+        tabR = jnp.stack(hatCols(0, iR), axis=1)  # (CD, 8)
         out = pl.pallas_call(
-            functools.partial(_lutKernelT, D, C),
+            functools.partial(_lutKernelT, D, C, exact),
             grid=(Np // _TLX,),
             in_specs=[
                 pl.BlockSpec((3, _TLX), lambda i: (0, i)),
                 pl.BlockSpec((D, 11), lambda i: (0, 0)),
                 pl.BlockSpec((C * D, D * D), lambda i: (0, 0)),
                 pl.BlockSpec((C, C * D), lambda i: (0, 0)),
-                pl.BlockSpec((D * D, D), lambda i: (0, 0)),
-                pl.BlockSpec((D * D, D), lambda i: (0, 0)),
-                pl.BlockSpec((C * D, D), lambda i: (0, 0)),
+                pl.BlockSpec((D * D, 16), lambda i: (0, 0)),
+                pl.BlockSpec((C * D, 8), lambda i: (0, 0)),
             ],
             out_specs=pl.BlockSpec((C, _TLX), lambda i: (0, i)),
             out_shape=jax.ShapeDtypeStruct((C, Np), f32),
@@ -200,7 +263,7 @@ def ailutTransformPallasT(
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024,
             ),
-        )(flatT, tabT, lutMatT, selT, eBT, eGT, eRT)
+        )(flatT, tabT, lutMatT, selT, tabGB, tabR)
         outs.append(out[:, :N].T.reshape(H, W, C))
     return jnp.stack(outs).astype(img.dtype)
 

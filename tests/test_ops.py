@@ -377,3 +377,36 @@ def test_ailut_pallas_kernel_matches_xla():
         functools.partial(ailutTransformPallasT, interpret=True)(img, lut, vert)
     )
     assert np.abs(ref - gotT).max() < 1e-2
+
+
+def test_ailut_pallas_kernel_extrapolates_out_of_range():
+    """Out-of-range inputs must LINEARLY EXTRAPOLATE like the CUDA
+    algorithm (ailut_transform_cuda.cu:88-159 keeps the unclamped
+    fraction in the clamped edge bin) — chain 4 feeds AiLUT unclipped
+    AOD-dehaze output, and a clamping kernel silently cost ~2 dB there
+    (docs/PERF.md round-4 attribution).  Random in-range tests cannot
+    catch this; this one spans [-0.4, 1.5]."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from moephoto_tpu.ops.lut import ailutTransform
+    from moephoto_tpu.ops.lutkernel import ailutTransformPallasT
+
+    rng = np.random.RandomState(7)
+    D, C = 33, 3
+    img = jnp.asarray((rng.rand(1, 24, 64, 3) * 1.9 - 0.4).astype(np.float32))
+    lut = jnp.asarray(rng.rand(1, C, D, D, D).astype(np.float32))
+    iv = rng.rand(1, 3, D - 1).astype(np.float32)
+    iv = iv / iv.sum(-1, keepdims=True)
+    vert = jnp.asarray(np.pad(np.cumsum(iv, -1), ((0, 0), (0, 0), (1, 0))))
+    ref = np.asarray(ailutTransform(img, lut, vert))
+    # extrapolated magnitudes exceed the LUT range — scale the tolerance
+    scale = max(1.0, np.abs(ref).max())
+    for exact in (True, False):
+        got = np.asarray(
+            functools.partial(ailutTransformPallasT, interpret=True, exact=exact)(
+                img, lut, vert
+            )
+        )
+        assert np.abs(ref - got).max() / scale < (1e-4 if exact else 1e-2), exact

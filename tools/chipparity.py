@@ -102,9 +102,13 @@ def _runAll() -> dict:
 
     from moephoto_tpu.ops.lutkernel import ailutTransformPallasT
 
-    got = jax.jit(ailutTransformPallasT)(img, lut, vert)
+    # out-of-range values so the chip gate also covers the CUDA-style
+    # linear EXTRAPOLATION path (the round-4 chain-4 finding: random
+    # in-range inputs cannot catch a clamping kernel)
+    imgX = jnp.asarray((rng.rand(1, 32, 64, 3) * 1.9 - 0.4).astype(np.float32))
+    got = jax.jit(ailutTransformPallasT)(imgX, lut, vert)
     want = jax.jit(functools.partial(ailutTransformPallasT, interpret=True))(
-        img, lut, vert
+        imgX, lut, vert
     )
     out["ailutTransformPallasT"] = _maxabs(got, want)
 
