@@ -712,7 +712,10 @@ def _benchIconVSR(h=360, w=640, n=14, warm=0):
     opt.dtype = jnp.bfloat16
     opt.start = 0
     opt.end = 0
-    red = jax.jit(lambda v: jnp.mean(v.astype(jnp.float32)))
+    redJ = jax.jit(lambda v: jnp.mean(v.astype(jnp.float32)))
+    # the stream forwards the end-of-stream sentinel to its consumer
+    # (chained temporal steps flush on it; engine sinks NonNullWrap it)
+    red = lambda v: [] if v is None else [redJ(v)]
     rng = np.random.RandomState(0)
     frames = [jnp.asarray(rng.rand(h, w, 3).astype(np.float32)) for _ in range(n)]
 
@@ -725,7 +728,7 @@ def _benchIconVSR(h=360, w=640, n=14, warm=0):
         opt2.start = 0
         opt2.end = 0
         vals = []
-        g = JV.doVSR(lambda x: [red(x)], Node({"op": "t"}), opt2)
+        g = JV.doVSR(red, Node({"op": "t"}), opt2)
         t0 = time.perf_counter()
         for fr in frames:
             vals.extend(g(fr))

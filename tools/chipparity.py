@@ -5,7 +5,10 @@ Every production Pallas kernel is compared ON THE REAL TPU against its
 the kernel body as ordinary XLA ops, so it is the exact-math counterpart
 while the compiled kernel goes through Mosaic (bf16 MXU passes, VMEM
 scheduling).  A Mosaic miscompile that CI's CPU interpret tests cannot
-see shows up here as a large maxabs.
+see shows up here as a large maxabs.  Exception: the lanes-major AiLUT
+kernel's bf16x2 exact mode is gated against the f32 XLA transform
+instead — interpret-as-XLA:TPU-ops drops its hi/lo compensation and is
+LESS accurate than the compiled kernel (see the in-function comment).
 
 Used by bench.py (``kernel_parity_maxabs`` sanity field, asserted) and
 by the MOEPHOTO_CHIP_TESTS=1-gated test in tests/test_ops.py.
@@ -100,17 +103,24 @@ def _runAll() -> dict:
     )
     out["ailutTransformPallas"] = _maxabs(got, want)
 
+    from moephoto_tpu.ops.lut import ailutTransform
     from moephoto_tpu.ops.lutkernel import ailutTransformPallasT
 
     # out-of-range values so the chip gate also covers the CUDA-style
     # linear EXTRAPOLATION path (the round-4 chain-4 finding: random
-    # in-range inputs cannot catch a clamping kernel)
+    # in-range inputs cannot catch a clamping kernel).  Reference is the
+    # exact f32 XLA transform, and the metric is RELATIVE to the output
+    # magnitude: a random cumsum grid has ~1e-4 vertex spacings, so
+    # extrapolated hat weights reach ~1e3 and outputs ~1e3 — an absolute
+    # tol is meaningless there.  (Interpret mode is NOT a valid
+    # reference for this case: executed as plain XLA:TPU ops it loses
+    # the kernel's bf16x2 hi/lo compensation — measured rel 4e-3 vs the
+    # compiled kernel's 1.1e-5, /tmp/lut_cond3 round 4.)
     imgX = jnp.asarray((rng.rand(1, 32, 64, 3) * 1.9 - 0.4).astype(np.float32))
     got = jax.jit(ailutTransformPallasT)(imgX, lut, vert)
-    want = jax.jit(functools.partial(ailutTransformPallasT, interpret=True))(
-        imgX, lut, vert
-    )
-    out["ailutTransformPallasT"] = _maxabs(got, want)
+    want = ailutTransform(imgX, lut, vert)
+    mag = float(jnp.max(jnp.abs(want)))
+    out["ailutTransformPallasT_rel"] = _maxabs(got, want) / mag
 
     return out
 

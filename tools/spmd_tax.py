@@ -1,0 +1,185 @@
+"""8-chip projection measurements for the row-sharded IconVSR path
+(VERDICT round-3 task 1c).  Single real chip; measurements:
+
+  1. full-H fused chunk programs (the production Pallas tier) — the
+     single-chip baseline the projection divides.  H=384 (the bench
+     360p row rounds to sublane-aligned 384 here), W=640, T=20.
+  2. per-shard compute: the same programs at H/8 and H/4 rows (what one
+     device of an 8- or 4-chip ('sp',) row mesh executes).  8-chip time
+     ~= per-shard time + halo collectives (estimated analytically in
+     PERF.md from bytes-on-ICI; the kernels' halos are 4-8 rows).
+  3. the same programs with spmdTracing forced ON while no multi-device
+     mesh exists — this takes the XLA-tier fallbacks (dense DCN,
+     XLA-gather warps), i.e. the tax round-3's SPMD path paid before
+     the shard_map'd Pallas tiers landed (round 4).  Measured at H=192
+     against a same-H Pallas run so the ratio is apples-to-apples
+     (the dense-DCN program at 384 is too big for the remote compile
+     helper).
+
+All device arrays are passed as jit ARGUMENTS — closing over them bakes
+them into the HLO as literals and a T=20 384x640 clip's worth of
+constants (~150 MB with the keyframe stack) exceeds the remote compile
+helper's request-body limit (HTTP 413).
+
+Run: python tools/spmd_tax.py   (chip job — run alone, see CLAUDE.md)
+"""
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench
+from refshim import importReference
+
+importReference()
+import torch
+
+from moephoto_tpu.models import iconvsr as JV
+from moephoto_tpu.parallel import temporal as PT
+
+torch.manual_seed(0)
+cwd = os.getcwd()
+os.chdir(bench._refRoot())
+try:
+    import videoSR as RV
+finally:
+    os.chdir(cwd)
+mods = dict(
+    edvr=RV.EDVRFeatureExtractor(7, 64),
+    spynet=RV.SpyNet(),
+    backward_trunk=RV.ConvResidualBlocks(64 + 3, 64, 30),
+    forward_trunk=RV.ConvResidualBlocks(2 * 64 + 3, 64, 30),
+    upsample=RV.Upsample(),
+    backward_fusion=RV.newFusion(),
+    forward_fusion=RV.newFusion(),
+)
+with torch.no_grad():
+    for m in mods.values():
+        for prm in m.parameters():
+            if not torch.isfinite(prm).all() or prm.abs().max() > 1e3:
+                prm.normal_(0, 0.05)
+            prm.mul_(0.2)
+params = bench._refVideoParams([(k, m) for k, m in mods.items()], convT=None)
+params = {
+    k: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v
+    for k, v in params.items()
+}
+
+W = 640
+T = 20
+dt = jnp.bfloat16
+rng = np.random.RandomState(0)
+
+
+def mkArgs(H):
+    r = lambda *s: jnp.asarray(rng.rand(*s).astype(np.float32)).astype(dt)
+    inp = r(T, H, W, 3)
+    pairs = r(T, 2, H, W, 3)
+    clipsFlat = r(4 * JV.RefTime, H, W, 3)  # 4 keyframes x 7-frame clips
+    kfStack = r(5, H, W, 64)
+    kfIdx = jnp.asarray(
+        np.array([1, 0, 0, 0, 0, 2, 0, 0, 0, 0, 3, 0, 0, 0, 0, 4, 0, 0, 0, 0], np.int32)
+    )
+    kfMask = jnp.asarray(kfIdx > 0)
+    warpM = jnp.asarray(np.ones(T, bool))
+    validM = jnp.asarray(np.ones(T, bool))
+    featProp = r(1, H, W, 64)
+    bwd = r(T, H, W, 64)
+    flowM = jnp.asarray(np.r_[False, np.ones(T - 1, bool)])
+    return dict(
+        inp=inp, pairs=pairs, clipsFlat=clipsFlat, kfStack=kfStack,
+        kfIdx=kfIdx, kfMask=kfMask, warpM=warpM, validM=validM,
+        featProp=featProp, bwd=bwd, flowM=flowM,
+    )
+
+
+def timeLoop(name, fn, prm, a, n=2):
+    """Time fn(params, args) via an in-program fori_loop repetition.
+
+    params/args enter as jit ARGUMENTS (not closure constants) so the
+    serialized HLO stays small enough for the remote compile helper.
+    """
+
+    def run(prm, a):
+        def body(i, acc):
+            out = fn(prm, a)
+            leaves = jax.tree_util.tree_leaves(out)
+            return acc + sum(jnp.mean(l.astype(jnp.float32)) for l in leaves)
+
+        return lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    f = jax.jit(run)
+    t0 = time.time()
+    float(f(prm, a))
+    print(f"{name}: compile+first {time.time()-t0:.1f}s", flush=True)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        float(f(prm, a))
+        best = min(best, (time.time() - t0) / n * 1000)
+    print(f"{name}: {best:.1f} ms/call", flush=True)
+    return best
+
+
+def runB(prm, a):
+    # the production program: EDVR keyframe feats + SpyNet + backward
+    # recurrence fused (2 dispatches/clip)
+    return JV._backwardScanPairsEdvr(
+        prm, a["inp"], a["pairs"], a["clipsFlat"], a["kfIdx"], a["kfMask"],
+        a["warpM"], a["validM"]
+    )
+
+
+def runF(prm, a):
+    return JV._forwardScanPairsUp(
+        prm, a["featProp"], a["inp"], a["bwd"], a["pairs"], a["kfStack"],
+        a["kfIdx"], a["flowM"], a["kfMask"], a["validM"]
+    )
+
+
+def measure(tag, H, forceSpmd=False, n=2):
+    a = mkArgs(H)
+    fb, ff = runB, runF
+    if forceSpmd:
+        def wrap(fn):
+            def g(prm, aa):
+                PT._spmdTracing[0] = True
+                try:
+                    return fn(prm, aa)
+                finally:
+                    PT._spmdTracing[0] = False
+            return g
+        fb, ff = wrap(runB), wrap(runF)
+    b = timeLoop(f"backward_T20 {tag} H={H}", fb, params, a, n=n)
+    f = timeLoop(f"forward_up_T20 {tag} H={H}", ff, params, a, n=n)
+    print(f"{tag} H={H}: backward+forward = {b + f:.0f} ms / 20 frames", flush=True)
+    return b, f
+
+
+if __name__ == "__main__":
+    full = measure("pallas", 384)
+    shard8 = measure("pallas-shard", 48)
+    shard4 = measure("pallas-shard", 96)
+    # the XLA-tier tax ratio, apples-to-apples at H=192 (dense-DCN HLO at
+    # 384 exceeds the compile helper's request limit)
+    pal192 = measure("pallas", 192)
+    tax192 = measure("spmd-XLA-tier", 192, forceSpmd=True)
+
+    print("\n== summary ==", flush=True)
+    print(f"full 384:          {sum(full):.0f} ms", flush=True)
+    print(
+        f"per-shard 48 (8x): {sum(shard8):.0f} ms  -> ideal-less-halo "
+        f"speedup {sum(full)/sum(shard8):.2f}x", flush=True)
+    print(
+        f"per-shard 96 (4x): {sum(shard4):.0f} ms  -> speedup "
+        f"{sum(full)/sum(shard4):.2f}x", flush=True)
+    print(
+        f"XLA-tier tax @192: {sum(tax192):.0f} ms vs pallas "
+        f"{sum(pal192):.0f} ms ({sum(tax192)/sum(pal192):.2f}x)", flush=True)
