@@ -381,15 +381,25 @@ def _mergeTracks(mergeCmd):
     return proc, err
 
 
+def _removeIntermediate(path):
+    """Delete an engine-created scratch file (merge intermediates carry
+    derived ``-v``/``-a`` names next to the output, not in the upload
+    dir, so the `removeFile` upload containment guard would refuse)."""
+    try:
+        os.remove(path)
+    except OSError:
+        pass
+
+
 def _cleanupMerge(mergeCmd, outputPath):
     """Remove intermediates after a merge (temp video + audio)."""
     if not mergeCmd:
         return outputPath
     tempVideo, audioPath = mergeCmd[4], mergeCmd[6]
     merged = os.path.exists(outputPath)
-    removeFile(audioPath)
+    _removeIntermediate(audioPath)
     if merged:
-        removeFile(tempVideo)
+        _removeIntermediate(tempVideo)
         return outputPath
     return tempVideo
 

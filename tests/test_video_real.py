@@ -199,3 +199,139 @@ def test_realclip_demob_slomo_end_to_end(cvffmpeg, temporalCkpts, tmp_path, monk
     assert n == 2 * nIn - 1, (n, nFrames)
     assert nFrames == nIn
     assert min(stds) > 0.0, "encoded frames are blank"
+
+
+# --------------------------------------------------------------------------
+# audio split / merge (reference video.py:204-257,312-321)
+# --------------------------------------------------------------------------
+
+
+def _writeWav(path):
+    """A deterministic 0.1 s mono 44.1 kHz WAV (stdlib only)."""
+    import wave
+
+    rng = np.random.RandomState(11)
+    data = (rng.randn(4410) * 3000).astype(np.int16)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(data.tobytes())
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _flagContext():
+    from moephoto_tpu.runtime.context import context
+
+    context.stopFlag = _Flag()
+    context.notifier = None
+
+
+def test_audio_upload_mux_one_pass(cvffmpeg, tmp_path, monkeypatch):
+    """Uploaded file WITH audio: the engine muxes the source's non-video
+    tracks straight into the encode pass (buildEncodeCommand audioFrom,
+    reference video.py:226-241 second `-i` + `-map 1?` + `-c:1 copy`).
+    Under the shim's WAV-sidecar convention the output must carry the
+    source's audio bytes."""
+    from moephoto_tpu.config import config
+    from moephoto_tpu.video.engine import SR_vid
+
+    _flagContext()
+    upDir = tmp_path / "upload"
+    upDir.mkdir()
+    monkeypatch.setattr(config, "uploadDir", str(upDir), raising=False)
+    vid = str(upDir / "clip.mp4")
+    shutil.copyfile(FIXTURE, vid)
+    wav = _writeWav(vid + ".wav")
+
+    outFile = str(tmp_path / "muxed.mp4")
+    steps = [
+        {"op": "decode"},
+        {"op": "range", "start": 0, "stop": 5},
+        {"op": "output", "file": outFile, "frameRate": 30, "codec": "mpeg4"},
+    ]
+    path, nFrames = SR_vid(vid, "", *steps)
+    assert os.path.exists(path) and nFrames == 6
+    with open(path + ".wav", "rb") as f:
+        assert f.read() == wav, "output lost the source audio track"
+
+
+def test_audio_split_then_merge(cvffmpeg, tmp_path, monkeypatch):
+    """URL/cmd source WITH audio: decode splits the non-video tracks
+    (`-vn -c copy -y PATH`, reference video.py:208-212), the encoder
+    writes a temp video, and mergeAV remuxes them into the target
+    (reference video.py:244-257,312-321).  Asserts the audio bytes
+    round-trip to the output and both intermediates are cleaned up."""
+    from moephoto_tpu.config import config
+    from moephoto_tpu.video.engine import SR_vid
+
+    _flagContext()
+    monkeypatch.setattr(config, "uploadDir", str(tmp_path / "upload"), raising=False)
+    vid = str(tmp_path / "src.mp4")
+    shutil.copyfile(FIXTURE, vid)
+    wav = _writeWav(vid + ".wav")
+
+    outFile = str(tmp_path / "merged.mp4")
+    steps = [
+        {"op": "decode"},
+        {"op": "range", "start": 0, "stop": 5},
+        {"op": "output", "file": outFile, "frameRate": 30, "codec": "mpeg4"},
+    ]
+    path, nFrames = SR_vid(vid, "url", *steps)
+    assert path == outFile and os.path.exists(path) and nFrames == 6
+    with open(path + ".wav", "rb") as f:
+        assert f.read() == wav, "merged output lost the split audio track"
+    # merge intermediates (suffix -v video, -a audio) must be gone
+    assert not os.path.exists(str(tmp_path / "merged-v.mp4"))
+    assert not os.path.exists(str(tmp_path / "merged-a.mp4"))
+    # the output is still a playable container after the merge copy
+    cap = cv2.VideoCapture(path)
+    assert cap.isOpened() and cap.read()[0]
+    cap.release()
+    assert os.path.exists(vid), "URL-source inputs must not be deleted"
+
+
+def test_audio_command_lines_match_reference_templates():
+    """Token-for-token golden of the three assembled ffmpeg command
+    lines against the reference's templates (video.py:204-257 builds
+    them in place; the -vn split block :208-212, the second-input mux
+    block :235-241, the merge command :246-257), parametrized only on
+    ffmpegPath / version string / paths."""
+    from moephoto_tpu.config import config
+    from moephoto_tpu.video.engine import (
+        PIX_FMT,
+        buildDecodeCommand,
+        buildEncodeCommand,
+        buildMergeCommand,
+    )
+
+    ff = config.ffmpegPath
+    meta = ["-metadata", f'service_provider="MoePhoto-TPU {config.version}"']
+    sws = [
+        "-sws_flags", "spline+accurate_rnd+full_chroma_int",
+        "-color_trc", "2", "-colorspace", "2", "-color_primaries", "2",
+        "-map", "0:v", "-f", "rawvideo", "-pix_fmt", PIX_FMT,
+    ]
+    # decode + audio split (reference commandIn, video.py:204-224, kept
+    # un-clipped because by and not videoOnly)
+    assert buildDecodeCommand("in.mp4", "url", "", "out-a.mp4") == (
+        [ff, "-hide_banner", "-i", "in.mp4",
+         "-vn", "-c", "copy", "-y", "out-a.mp4"] + sws + ["-"]
+    )
+    # encode + straight mux from the source (reference commandVideo
+    # video.py:226-241 with [16] = video, the upload branch :259)
+    assert buildEncodeCommand(
+        "64x48", 30.0, "libx264", "out.mp4", audioFrom="in.mp4"
+    ) == (
+        [ff, "-hide_banner", "-y", "-f", "rawvideo", "-pix_fmt", PIX_FMT,
+         "-s", "64x48", "-r", "30.0", "-thread_queue_size", "64", "-i", "-",
+         "-i", "in.mp4", "-map", "0:v", "-map", "1?", "-map", "-1:v",
+         "-c:1", "copy"] + meta + ["-c:v:0", "libx264", "out.mp4"]
+    )
+    # merge after a split (reference commandOut, video.py:244-257)
+    assert buildMergeCommand("out-v.mp4", "out-a.mp4", "out.mp4") == (
+        [ff, "-hide_banner", "-y", "-i", "out-v.mp4", "-i", "out-a.mp4",
+         "-map", "0:v", "-map", "1?", "-c:0", "copy", "-c:1", "copy"]
+        + meta + ["out.mp4"]
+    )

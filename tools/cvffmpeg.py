@@ -9,13 +9,19 @@ Speaks the exact CLI subset `video/engine.py` assembles (reference
 `frame=N` count line), decode (`-f rawvideo -pix_fmt bgr48le` to
 stdout), encode (rawvideo bgr48le on stdin to a container file via
 ``cv2.VideoWriter``).  Unlike tools/fakeffmpeg.py (synthetic gradient
-frames) this decodes/encodes REAL media — it drives BASELINE config 5's
-`test/realshort.mp4` end-to-end (tests/test_video_real.py, bench
-`video_e2e_realshort`).
+frames) this decodes/encodes REAL media — it drives BASELINE config 5
+end-to-end on the committed fixture tests/data/shortclip.mp4
+(tests/test_video_real.py, bench row `video_e2e_realclip`).
 
-Limitations vs real ffmpeg: media is treated as video-only (OpenCV has
-no audio API, so the probe never reports `Stream #0:1` and the engine
-skips the audio split/merge path), and `-c:v` encoder selections map to
+Audio (WAV sidecar convention): OpenCV has no audio API, so a media
+file `X` "contains audio" here iff a sidecar `X.wav` exists next to it.
+The shim then implements the reference's full audio surface
+(`video.py:204-257,312-321`): probe reports `Stream #0:1: Audio:`,
+decode's `-vn -c copy -y PATH` split copies the sidecar bytes to PATH,
+encode's second `-i audioFrom` mux copies audioFrom's sidecar to the
+target's sidecar, and the merge command (`-i video -i audio -c:0 copy
+-c:1 copy target`) copies the video container to the target plus the
+audio bytes to the target's sidecar.  `-c:v` encoder selections map to
 an OpenCV fourcc by target extension.
 
 bgr48le <-> uint8 conversion matches ffmpeg's bit-depth expansion
@@ -30,11 +36,20 @@ import cv2
 import numpy as np
 
 
+def _sidecar(path):
+    """The audio track of `path` under the WAV-sidecar convention."""
+    return path + ".wav"
+
+
 def _streamInfo(src, W, H, fps):
     sys.stderr.write(f"Input #0, mov,mp4,m4a,3gp,3g2,mj2, from '{src}':\n")
     sys.stderr.write(
         f"  Stream #0:0: Video: h264, yuv420p, {W}x{H}, {fps:.2f} fps, {fps:.2f} tbr\n"
     )
+    if os.path.exists(_sidecar(src)):
+        sys.stderr.write(
+            "  Stream #0:1: Audio: pcm_s16le, 44100 Hz, stereo, s16\n"
+        )
     sys.stderr.write("Output #0, null, to '-':\n")
     sys.stderr.write(
         f"  Stream #0:0: Video: wrapped_avframe, yuv420p, {W}x{H}, q=2-31, {fps:.2f} fps\n"
@@ -67,9 +82,18 @@ def probe(argv):
     cap.release()
 
 
+def _copyBytes(srcPath, dstPath):
+    with open(srcPath, "rb") as f, open(dstPath, "wb") as g:
+        g.write(f.read())
+
+
 def decode(argv):
     src, cap, W, H, fps = _openInput(argv)
     _streamInfo(src, W, H, fps)
+    if "-vn" in argv:  # split non-video tracks (engine: -vn -c copy -y PATH)
+        audioPath = argv[argv.index("-y") + 1]
+        if os.path.exists(_sidecar(src)):
+            _copyBytes(_sidecar(src), audioPath)
     out = sys.stdout.buffer
     while True:
         ok, frame = cap.read()  # (H, W, 3) BGR uint8
@@ -116,7 +140,34 @@ def encode(argv):
         writer.write(u8)
         n += 1
     writer.release()
+    # mux: a second input after stdin is an `audioFrom` source whose
+    # non-video tracks ride along (-map 1? — optional, so a missing
+    # sidecar is not an error)
+    iIdx = [i for i, t in enumerate(argv) if t == "-i"]
+    if len(iIdx) > 1:
+        audioFrom = argv[iIdx[1] + 1]
+        track = audioFrom if audioFrom.endswith(".wav") else _sidecar(audioFrom)
+        if os.path.exists(track):
+            _copyBytes(track, _sidecar(target))
     sys.stderr.write(f"frame=  {n} fps=0.0 q=-0.0 Lsize=N/A\n")
+
+
+def merge(argv):
+    """Remux split tracks (engine buildMergeCommand, reference
+    video.py:244-257): -i video -i audio -map 0:v -map 1? -c:0 copy
+    -c:1 copy target.  Video stream-copies to the target; the split
+    audio bytes become the target's WAV sidecar (`-map 1?` — a missing
+    or empty audio input is skipped, not an error)."""
+    iIdx = [i for i, t in enumerate(argv) if t == "-i"]
+    videoPath, audioPath = argv[iIdx[0] + 1], argv[iIdx[1] + 1]
+    target = argv[-1]
+    if not os.path.exists(videoPath):
+        sys.stderr.write(f"{videoPath}: No such file or directory\n")
+        sys.exit(1)
+    _copyBytes(videoPath, target)
+    if os.path.exists(audioPath) and os.path.getsize(audioPath) > 0:
+        _copyBytes(audioPath, _sidecar(target))
+    sys.stderr.write(f"size=  {os.path.getsize(target)//1024}kB\n")
 
 
 def main():
@@ -128,7 +179,9 @@ def main():
         return decode(argv)
     if "-i" in argv and argv[argv.index("-i") + 1] == "-":
         return encode(argv)
-    # merge / audio-extract: video-only backend, just materialize target
+    if "-c:0" in argv:
+        return merge(argv)
+    # unknown subcommand: materialize the target so callers see a file
     if argv and not argv[-1].startswith("-"):
         open(argv[-1], "wb").close()
 

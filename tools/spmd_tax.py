@@ -4,8 +4,11 @@
   1. full-H fused chunk programs (the production Pallas tier) — the
      single-chip baseline the projection divides.  H=384 (the bench
      360p row rounds to sublane-aligned 384 here), W=640, T=20.
-  2. per-shard compute: the same programs at H/8 and H/4 rows (what one
-     device of an 8- or 4-chip ('sp',) row mesh executes).  8-chip time
+  2. per-shard compute: the same programs at H = 64, 128, 192 rows.
+     SpyNet's 6-level pyramid needs H % 64 == 0, so H/8 = 48 of the
+     384-row clip cannot trace as a standalone program; instead the
+     measured points fit t(H) = a + b*H (they are conv stacks, linear
+     in rows) and the fit extrapolates the 48-row shard.  8-chip time
      ~= per-shard time + halo collectives (estimated analytically in
      PERF.md from bytes-on-ICI; the kernels' halos are 4-8 rows).
   3. the same programs with spmdTracing forced ON while no multi-device
@@ -165,21 +168,34 @@ def measure(tag, H, forceSpmd=False, n=2):
 
 if __name__ == "__main__":
     full = measure("pallas", 384)
-    shard8 = measure("pallas-shard", 48)
-    shard4 = measure("pallas-shard", 96)
+    # per-shard points (SpyNet pyramid needs H % 64 == 0; H/8 = 48 of
+    # the 384-row clip is extrapolated from the linear row fit below)
+    shardPts = {}
+    for Hs in (192, 128, 64):
+        shardPts[Hs] = measure("pallas-shard", Hs)
     # the XLA-tier tax ratio, apples-to-apples at H=192 (dense-DCN HLO at
     # 384 exceeds the compile helper's request limit)
-    pal192 = measure("pallas", 192)
     tax192 = measure("spmd-XLA-tier", 192, forceSpmd=True)
 
     print("\n== summary ==", flush=True)
-    print(f"full 384:          {sum(full):.0f} ms", flush=True)
+    print(f"full 384:           {sum(full):.0f} ms", flush=True)
+    for Hs, v in sorted(shardPts.items()):
+        print(
+            f"per-shard H={Hs:<4d}: {sum(v):.0f} ms  -> ideal-less-halo "
+            f"speedup vs 384 {sum(full)/sum(v):.2f}x", flush=True)
+    # least-squares t(H) = a + b*H over all four points
+    hs = np.array([384] + sorted(shardPts), np.float64)
+    ts = np.array(
+        [sum(full)] + [sum(shardPts[h]) for h in sorted(shardPts)], np.float64
+    )
+    b, a = np.polyfit(hs, ts, 1)
+    t48 = a + b * 48
+    print(f"row fit: t(H) = {a:.0f} + {b:.2f}*H ms  (t(48) ~= {t48:.0f} ms)",
+          flush=True)
     print(
-        f"per-shard 48 (8x): {sum(shard8):.0f} ms  -> ideal-less-halo "
-        f"speedup {sum(full)/sum(shard8):.2f}x", flush=True)
+        f"projected 8-chip compute speedup (no halo): "
+        f"{sum(full)/t48:.2f}x", flush=True)
+    pal192 = shardPts[192]
     print(
-        f"per-shard 96 (4x): {sum(shard4):.0f} ms  -> speedup "
-        f"{sum(full)/sum(shard4):.2f}x", flush=True)
-    print(
-        f"XLA-tier tax @192: {sum(tax192):.0f} ms vs pallas "
+        f"XLA-tier tax @192:  {sum(tax192):.0f} ms vs pallas "
         f"{sum(pal192):.0f} ms ({sum(tax192)/sum(pal192):.2f}x)", flush=True)
