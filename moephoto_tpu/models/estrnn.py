@@ -15,6 +15,7 @@ from typing import List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from moephoto_tpu.config import config
 from moephoto_tpu.engine.stream import Stream, StreamGraph
@@ -154,6 +155,64 @@ def getOpt(option: dict) -> ESTRNNOpt:
     opt.params = params
     opt.dtype = dtype
     return opt
+
+
+def synthParams(seed: int = 0, dtype=jnp.float32) -> Params:
+    """Random-init parameters in the checkpoint layout (reference
+    ESTRNN.py:100-172 modules cell/fusion/recons), run through the same
+    ``convertStateDict`` path as :func:`getOpt` — so the stage jits run
+    without a checkpoint or the torch reference.  Used by the multi-chip
+    dryrun and the sharded-temporal exactness tests."""
+    from moephoto_tpu.models.api import convertStateDict
+
+    rng = np.random.RandomState(seed)
+    sd = {}
+
+    def t(name, *shape):
+        fan = float(np.prod(shape[1:])) if len(shape) > 1 else 1.0
+        sd[name + ".weight"] = (
+            rng.randn(*shape) / np.sqrt(fan) * 0.5
+        ).astype(np.float32)
+        sd[name + ".bias"] = rng.randn(shape[0]).astype(np.float32) * 0.01
+
+    def rdb(prefix, g, c0):
+        # 3 dense conv layers growing by g, then a 1x1 condenser
+        for i in range(3):
+            t(f"{prefix}.{i}.conv", g, c0 + i * g, 3, 3)
+        return c0 + 3 * g
+
+    t("cell.F_B0", 16, 3, 5, 5)
+    t("cell.F_B1.0.3", 16, rdb("cell.F_B1.0", 16, 16), 1, 1)
+    t("cell.F_B1.1", 32, 16, 5, 5)
+    t("cell.F_B2.0.3", 32, rdb("cell.F_B2.0", 24, 32), 1, 1)
+    t("cell.F_B2.1", 64, 32, 5, 5)
+    for b in range(15):
+        t(f"cell.F_R.RDBs.{b}.3", 80, rdb(f"cell.F_R.RDBs.{b}", 32, 80), 1, 1)
+    t("cell.F_R.conv1x1", 80, 15 * 80, 1, 1)
+    t("cell.F_R.conv3x3", 80, 80, 3, 3)
+    t("cell.F_h.0", 16, 80, 3, 3)
+    t("cell.F_h.1.3", 16, rdb("cell.F_h.1", 16, 16), 1, 1)
+    t("cell.F_h.2", 16, 16, 3, 3)
+    t("fusion.F_f.0", 320, 160)
+    t("fusion.F_f.2", 160, 320)
+    t("fusion.F_p.0", 320, 160, 1, 1)
+    t("fusion.F_p.1", 160, 320, 1, 1)
+    t("fusion.condense", 80, 160, 1, 1)
+    t("fusion.fusion", 400, 400, 1, 1)
+
+    def tT(name, cin, cout, k):
+        # ConvTranspose2d: weight (in, out, kh, kw), bias (out,)
+        sd[name + ".weight"] = (
+            rng.randn(cin, cout, k, k) / np.sqrt(k * k * cin) * 0.5
+        ).astype(np.float32)
+        sd[name + ".bias"] = rng.randn(cout).astype(np.float32) * 0.01
+
+    tT("recons.0", 400, 32, 3)
+    tT("recons.1", 32, 16, 3)
+    t("recons.2", 3, 16, 5, 5)
+    isConvT = lambda k, s: k in ("recons.0.weight", "recons.1.weight")
+    conv = convertStateDict(sd, isConvT)
+    return {k: jnp.asarray(v, dtype=dtype) for k, v in conv.items()}
 
 
 def cellScanApply(params: Params, frames: jnp.ndarray, hidden: jnp.ndarray):

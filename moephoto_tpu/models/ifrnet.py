@@ -410,6 +410,66 @@ class IFRNetOpt(StreamOpt):
     pass
 
 
+def synthParams(seed: int = 0, dtype=jnp.float32) -> Params:
+    """Random-init IFRNet-S parameters in the checkpoint layout
+    (reference IFRNet.py:49-159 encoder/decoder), run through the same
+    ``convertStateDict`` path as :func:`getOpt` — so the stage jits run
+    without a checkpoint or the torch reference.  Used by the multi-chip
+    dryrun and the sharded-temporal exactness tests."""
+    from moephoto_tpu.models.api import convertStateDict
+
+    rng = np.random.RandomState(seed)
+    sd = {}
+
+    def t(name, *shape):
+        fan = float(np.prod(shape[1:])) if len(shape) > 1 else 1.0
+        sd[name + ".weight"] = (
+            rng.randn(*shape) / np.sqrt(fan) * 0.5
+        ).astype(np.float32)
+        if len(shape) > 1:
+            sd[name + ".bias"] = rng.randn(shape[0]).astype(np.float32) * 0.01
+
+    chs = Channels["S"]  # [24, 36, 54, 72]
+    side = SideChannels["S"]  # 24
+    for l, c in enumerate(chs):
+        cin = 3 if l == 0 else chs[l - 1]
+        for j, ci in ((0, cin), (1, c)):
+            t(f"encoder.pyramids.{l}.{j}.0", c, ci, 3, 3)
+            sd[f"encoder.pyramids.{l}.{j}.1.weight"] = np.full(
+                (c,), 0.25, np.float32
+            )
+    # per-decoder (in0, mid, convT-out) channel tuples — IFRNet.py:94-159
+    # (in0 = concatenated features (+ flows/side below the top level),
+    # convT-out = 4 flow ch + side (+ 2x upsampled side mid-levels))
+    decs = ((145, 144, 2 * side + 10), (166, 162, 40), (112, 108, 28),
+            (76, 72, 8))
+    for d, (in0, mid, outc) in enumerate(decs):
+        t(f"decoder.decoders.{d}.0.0", mid, in0, 3, 3)
+        sd[f"decoder.decoders.{d}.0.1.weight"] = np.full((mid,), 0.25, np.float32)
+        for cv, cc in (("conv1", mid), ("conv2", side), ("conv3", mid),
+                       ("conv4", side)):
+            t(f"decoder.decoders.{d}.1.{cv}.0", cc, cc, 3, 3)
+            sd[f"decoder.decoders.{d}.1.{cv}.1.weight"] = np.full(
+                (cc,), 0.25, np.float32
+            )
+        t(f"decoder.decoders.{d}.1.conv5", mid, mid, 3, 3)
+        sd[f"decoder.decoders.{d}.1.prelu.weight"] = np.full(
+            (mid,), 0.25, np.float32
+        )
+        # ConvTranspose2d: weight (in, out, kh, kw), bias (out,)
+        sd[f"decoder.decoders.{d}.2.weight"] = (
+            rng.randn(mid, outc, 4, 4) / np.sqrt(16 * mid) * 0.5
+        ).astype(np.float32)
+        sd[f"decoder.decoders.{d}.2.bias"] = (
+            rng.randn(outc).astype(np.float32) * 0.01
+        )
+    isConvT = lambda k, s: k.startswith("decoder.decoders.") and k.endswith(
+        ".2.weight"
+    )
+    conv = convertStateDict(sd, isConvT)
+    return {k: jnp.asarray(v, dtype=dtype) for k, v in conv.items()}
+
+
 def getOpt(option: dict) -> IFRNetOpt:
     from moephoto_tpu.models.api import convertStateDict
     from moephoto_tpu.pipeline.registry import modelPath

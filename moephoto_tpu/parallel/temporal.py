@@ -123,15 +123,20 @@ def stageJit(
                 single = not isinstance(out, tuple)
                 outs = (out,) if single else out
                 assert len(outs) == len(outHAxes), (fn, len(outs))
+                def constrain(leaf, h):
+                    # rows not divisible by the mesh (e.g. an H/16
+                    # pyramid level of a small frame) stay unconstrained
+                    # — GSPMD places them; device_put would reject them
+                    if np.shape(leaf)[h] % mesh.devices.size:
+                        return leaf
+                    return jax.lax.with_sharding_constraint(
+                        leaf, NamedSharding(mesh, _rowSpec(h, np.ndim(leaf)))
+                    )
+
                 outs = tuple(
                     o
                     if h is None
-                    else jax.tree_util.tree_map(
-                        lambda leaf: jax.lax.with_sharding_constraint(
-                            leaf, NamedSharding(mesh, _rowSpec(h, np.ndim(leaf)))
-                        ),
-                        o,
-                    )
+                    else jax.tree_util.tree_map(lambda l: constrain(l, h), o)
                     for o, h in zip(outs, outHAxes)
                 )
                 out = outs[0] if single else outs
@@ -152,7 +157,15 @@ def stageJit(
                 return a
 
             def put(leaf):
-                sh = NamedSharding(mesh, _rowSpec(h, np.ndim(leaf)))
+                # rows not divisible by the mesh (e.g. an H/16 pyramid
+                # level of a small frame) replicate instead — sharding
+                # them is ill-formed and device_put rejects it
+                spec = (
+                    _rowSpec(h, np.ndim(leaf))
+                    if np.shape(leaf)[h] % mesh.devices.size == 0
+                    else P()
+                )
+                sh = NamedSharding(mesh, spec)
                 cur = getattr(leaf, "sharding", None)
                 if cur is not None and cur.is_equivalent_to(sh, np.ndim(leaf)):
                     return leaf  # sharded-resident from the last stage
