@@ -744,15 +744,22 @@ def _benchIconVSR(h=360, w=640, n=14, warm=0):
     return _medianRow(rates)
 
 
-def _benchRealClip(passes=3):
+def _benchRealClip(passes=3, loops=4):
     """BASELINE config 5 analog on REAL media end to end: the production
     video engine (probe/pipes/drain threads/mux — video/engine.py)
-    decodes tests/data/shortclip.mp4 (36 frames 320x240, a real mp4v
-    container), runs demob (ESTRNN) -> slomo x2 (IFRNet) and encodes a
-    playable mp4.  ffmpeg has no binary here and no egress to fetch one
-    (docs/PERF.md); the subprocess seam runs tools/cvffmpeg.py — the
-    same CLI surface, real decode/encode via OpenCV.  Asserts the output
-    container re-decodes with exactly 2*36-1 frames each pass.
+    decodes a real mp4v container, runs demob (ESTRNN) -> slomo x2
+    (IFRNet) and encodes a playable mp4.  The clip is the committed
+    36-frame 320x240 fixture tests/data/shortclip.mp4 looped ``loops``
+    times into a longer bench clip at setup (144 frames) so per-pass
+    host constants (probe, process spawns, container open/close) stop
+    dominating the spread (VERDICT r4 weak #3).  ffmpeg has no binary
+    here and no egress to fetch one (docs/PERF.md); the subprocess seam
+    runs tools/cvffmpeg.py — the same CLI surface, real decode/encode
+    via OpenCV.  Asserts the output container re-decodes with exactly
+    2*n-1 frames each pass.  Round-5 fix: the step list was missing the
+    positional ``range`` step (video/engine.prepare reads steps[1] as
+    range), which silently DROPPED the demob step from the pipeline —
+    earlier rows measured slomo only.
     Reference: video.py:323-397, test/test-video.py:1-17."""
     import shutil
     import tempfile
@@ -811,7 +818,6 @@ def _benchRealClip(passes=3):
             cmd = [sys.executable, script] + list(cmd[1:])
         return origPopen(cmd, **kw)
 
-    nIn = 36
     try:
         config.ffmpegPath = sys.executable
         upDir = os.path.join(tmp, "upload")
@@ -823,12 +829,35 @@ def _benchRealClip(passes=3):
         context.stopFlag = _Flag()
         context.notifier = None
 
+        # synthesize the longer bench clip: the fixture looped `loops`
+        # times (a real re-encoded container, not a concat of bytes)
+        longClip = os.path.join(tmp, "benchclip.mp4")
+        capF = cv2.VideoCapture(fixture)
+        wri = cv2.VideoWriter(
+            longClip, cv2.VideoWriter_fourcc(*"mp4v"),
+            capF.get(cv2.CAP_PROP_FPS) or 30.0,
+            (int(capF.get(cv2.CAP_PROP_FRAME_WIDTH)),
+             int(capF.get(cv2.CAP_PROP_FRAME_HEIGHT))),
+        )
+        nIn = 0
+        for _ in range(loops):
+            capF.set(cv2.CAP_PROP_POS_FRAMES, 0)
+            while True:
+                ok, frame = capF.read()
+                if not ok:
+                    break
+                wri.write(frame)
+                nIn += 1
+        capF.release()
+        wri.release()
+
         def onePass(idx):
-            vid = os.path.join(upDir, "shortclip.mp4")
-            shutil.copyfile(fixture, vid)
+            vid = os.path.join(upDir, "benchclip.mp4")
+            shutil.copyfile(longClip, vid)
             outFile = os.path.join(tmp, f"out{idx}.mp4")
             steps = [
                 {"op": "decode"},
+                {"op": "range"},  # positional: engine reads steps[1]
                 {"op": "demob", "model": "1ms8ms"},
                 {"op": "slomo", "model": "IFRNet S", "sf": 2},
                 {"op": "output", "file": outFile, "frameRate": 60,
