@@ -108,11 +108,35 @@ def timeLoop(name, fn, prm, a, n=2):
 
     params/args enter as jit ARGUMENTS (not closure constants) so the
     serialized HLO stays small enough for the remote compile helper.
+
+    The loop body MUST depend on the carry: XLA hoists a loop-invariant
+    body out of the fori_loop (LICM), so the naive repetition executes
+    the workload ~once-or-twice regardless of n and the per-call
+    division under-reports by up to n/2 (measured round 5,
+    docs/PERF.md "in-program timing loops must be carry-dependent").
+    We thread the accumulator into the "inp" leaf (consumed by BOTH
+    fused programs — a leaf the timed fn ignores would be a dead
+    dependency XLA hoists anyway) scaled by 1e-30 — numerically a
+    no-op, structurally a serial dependency.
     """
 
     def run(prm, a):
         def body(i, acc):
-            out = fn(prm, a)
+            if isinstance(a, dict) and "inp" in a:
+                a2 = dict(a)
+                a2["inp"] = a["inp"] + (acc * 1e-30).astype(a["inp"].dtype)
+            else:
+                leaves, treedef = jax.tree_util.tree_flatten(a)
+                out_leaves, bumped = [], False
+                for l in leaves:
+                    if not bumped and hasattr(l, "dtype") and jnp.issubdtype(
+                            l.dtype, jnp.floating):
+                        out_leaves.append(l + (acc * 1e-30).astype(l.dtype))
+                        bumped = True
+                    else:
+                        out_leaves.append(l)
+                a2 = jax.tree_util.tree_unflatten(treedef, out_leaves)
+            out = fn(prm, a2)
             leaves = jax.tree_util.tree_leaves(out)
             return acc + sum(jnp.mean(l.astype(jnp.float32)) for l in leaves)
 
