@@ -22,7 +22,11 @@ Layout (chosen for Mosaic v5e constraints, docs/PERF.md):
   - k taps processed in PAIRS on lane-concatenated (.., 2C) operands:
     at C=64 single-tap window FMAs pad half the 128-lane VPU, pairing
     fills them (chip A/B: 136 ms vs 207 unpaired @B=7 L1 360p, bf16
-    outputs agree to 1 ulp; docs/PERF.md round 3).  The k loop is
+    outputs agree to 1 ulp; docs/PERF.md round 3).  Round 5: pairs are
+    COLUMN-major (same kernel-column taps share bx) so each pair's
+    x-sweep shrinks to the 2m+1 shifts its hats can actually be
+    nonzero on, instead of the cross-column union — 48 window FMAs
+    per tile at the M=1 tier vs 75 (see _dcnKernel).  The k loop is
     Python-unrolled over the 4 pairs + 1 single — compile through the
     remote helper is ~214 s cold (the vmem flag multiplies per-dot
     compile cost) but cached thereafter.
@@ -59,16 +63,42 @@ def _dcnKernel(K, dg, margin, padding, dilation, W, Cout, outDtype,
     cg = C // dg
     TRW = _TR * W
 
-    sMin = -padding - margin
-    sMax = (kw - 1) * dilation - padding + margin
-    nS = sMax - sMin + 1
     expandDims = (((0,), (0,)), ((), ()))
 
     # PAIRED k taps: the window-loop FMAs and the final contraction run
     # on lane-concatenated (.., 2C) operands so the 128-lane VPU/MXU is
     # fully occupied at C=64 (single-tap ops pad half the lanes).
-    pairs = [(2 * i, 2 * i + 1) for i in range(K // 2)]
-    single = K - 1 if K % 2 else None
+    #
+    # Pairing is COLUMN-MAJOR (taps of the same kernel column share
+    # their x geometry bx): the x-hat of a tap is nonzero only for
+    # integer shifts s in [bx-margin, bx+margin] (2m+1 values), but a
+    # pair must sweep the UNION of its two taps' supports — row-major
+    # pairs (bx differing by dilation) swept 2m+1+d shifts, and the
+    # original global sweep covered all kw columns (2m+1+2d).  Same-bx
+    # pairs sweep exactly 2m+1: at the production M=1 tier that is
+    # 48 window FMAs per tile vs 75, and the sweeps ARE the kernel's
+    # VMEM-traffic bound (docs/PERF.md round 5).
+    def tapGeomS(k):
+        ky, kx = k // kw, k % kw
+        return ky * dilation - padding, kx * dilation - padding
+
+    byCol = {}
+    for k in range(K):
+        byCol.setdefault(k % kw, []).append(k)
+    pairs, rest = [], []
+    for kx in sorted(byCol):
+        col = list(byCol[kx])
+        while len(col) >= 2:
+            pairs.append((col.pop(0), col.pop(0)))
+        rest += col
+    rest.sort()
+    while len(rest) >= 2:
+        pairs.append((rest.pop(0), rest.pop(0)))
+    single = rest[0] if rest else None
+
+    def sRange(ks):
+        bxs = [tapGeomS(k)[1] for k in ks]
+        return min(bxs) - margin, max(bxs) + margin
 
     gIota = lax.broadcasted_iota(jnp.int32, (dg, C), 0)
     cIota = lax.broadcasted_iota(jnp.int32, (dg, C), 1)
@@ -77,7 +107,7 @@ def _dcnKernel(K, dg, margin, padding, dilation, W, Cout, outDtype,
     c2 = lax.broadcasted_iota(jnp.int32, (2 * dg, 2 * C), 1)
     expand2 = (c2 // cg == g2).astype(jnp.float32)  # block-diag 2x
 
-    def hatsFor(k, by, bx):
+    def hatsFor(k, bx, lo, hi):
         # separable bilinear hats in (dg, TRW) layout; the tap x-offset
         # bx folds into the hat argument so every column slice start in
         # the window loop stays STATIC (the slab column dim is the
@@ -89,27 +119,25 @@ def _dcnKernel(K, dg, margin, padding, dilation, W, Cout, outDtype,
             jnp.maximum(0.0, 1.0 - jnp.abs(oyT - float(d - margin))) * mkT
             for d in range(win)
         ] + [
-            jnp.maximum(0.0, 1.0 - jnp.abs(oxbT - float(sMin + sIdx)))
-            for sIdx in range(nS)
+            jnp.maximum(0.0, 1.0 - jnp.abs(oxbT - float(s)))
+            for s in range(lo, hi + 1)
         ]
-
-    def tapGeom(k):
-        ky, kx = k // kw, k % kw
-        return ky * dilation - padding, kx * dilation - padding
 
     acc = jnp.zeros((TRW, Cout), jnp.float32)
 
     for ka, kb in pairs:
-        bya, bxa = tapGeom(ka)
-        byb, bxb = tapGeom(kb)
-        hA = jnp.concatenate(hatsFor(ka, bya, bxa), axis=1)  # (dg, 16*TRW)
-        hB = jnp.concatenate(hatsFor(kb, byb, bxb), axis=1)
-        wAll = jnp.concatenate([hA, hB], axis=0)  # (2dg, 16*TRW)
+        bya, bxa = tapGeomS(ka)
+        byb, bxb = tapGeomS(kb)
+        lo, hi = sRange((ka, kb))
+        nSp = hi - lo + 1
+        hA = jnp.concatenate(hatsFor(ka, bxa, lo, hi), axis=1)
+        hB = jnp.concatenate(hatsFor(kb, bxb, lo, hi), axis=1)
+        wAll = jnp.concatenate([hA, hB], axis=0)  # (2dg, (win+nSp)*TRW)
         wE = lax.dot_general(
             wAll, expand2, expandDims, preferred_element_type=jnp.float32
-        )  # (16*TRW, 2C): lanes 0..C-1 = tap a, C..2C-1 = tap b
+        )  # ((win+nSp)*TRW, 2C): lanes 0..C-1 = tap a, C..2C-1 = tap b
         wymE = [wE[d * TRW : (d + 1) * TRW] for d in range(win)]
-        wxE = [wE[(win + i) * TRW : (win + i + 1) * TRW] for i in range(nS)]
+        wxE = [wE[(win + i) * TRW : (win + i + 1) * TRW] for i in range(nSp)]
         accP = jnp.zeros((TRW, 2 * C), jnp.float32)
         for d in range(win):
             dy = d - margin
@@ -117,8 +145,7 @@ def _dcnKernel(K, dg, margin, padding, dilation, W, Cout, outDtype,
             rb = slabRef[0, pl.ds(P + byb + dy, _TR)].astype(jnp.float32)
             rowsP = jnp.concatenate([ra, rb], axis=-1)  # (_TR, Wp, 2C)
             rowAcc = jnp.zeros((TRW, 2 * C), jnp.float32)
-            for sIdx in range(nS):
-                s = sMin + sIdx
+            for sIdx, s in enumerate(range(lo, hi + 1)):
                 sv = rowsP[:, P + s : P + s + W, :].reshape(TRW, 2 * C)
                 rowAcc = rowAcc + wxE[sIdx] * sv
             accP = accP + wymE[d] * rowAcc
@@ -129,20 +156,21 @@ def _dcnKernel(K, dg, margin, padding, dilation, W, Cout, outDtype,
 
     if single is not None:
         k = single
-        by, bx = tapGeom(k)
-        hS = jnp.concatenate(hatsFor(k, by, bx), axis=1)
+        by, bx = tapGeomS(k)
+        lo, hi = sRange((k,))
+        nSp = hi - lo + 1
+        hS = jnp.concatenate(hatsFor(k, bx, lo, hi), axis=1)
         wE = lax.dot_general(
             hS, expand1, expandDims, preferred_element_type=jnp.float32
         )
         wymE = [wE[d * TRW : (d + 1) * TRW] for d in range(win)]
-        wxE = [wE[(win + i) * TRW : (win + i + 1) * TRW] for i in range(nS)]
+        wxE = [wE[(win + i) * TRW : (win + i + 1) * TRW] for i in range(nSp)]
         acc1 = jnp.zeros((TRW, C), jnp.float32)
         for d in range(win):
             dy = d - margin
             rows = slabRef[0, pl.ds(P + by + dy, _TR)]
             rowAcc = jnp.zeros((TRW, C), jnp.float32)
-            for sIdx in range(nS):
-                s = sMin + sIdx
+            for sIdx, s in enumerate(range(lo, hi + 1)):
                 sv = rows[:, P + s : P + s + W, :]
                 rowAcc = rowAcc + wxE[sIdx] * sv.astype(jnp.float32).reshape(TRW, C)
             acc1 = acc1 + wymE[d] * rowAcc
