@@ -29,6 +29,8 @@ from moephoto_tpu.models.api import (
     Params,
     avgPool2d,
     conv2d,
+    deferredSubpixelConv,
+    interleaveDeferred,
     leakyRelu,
     maxPool2d,
     pixelShuffle,
@@ -240,14 +242,42 @@ def trunkApply(params: Params, prefix: str, x: jnp.ndarray, numBlocks: int = 30)
 
 
 def upsampleApply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """Upsample head (videoSR.py:313-322): two pixel-shuffle x2 stages."""
+    """Upsample head (videoSR.py:313-322): two pixel-shuffle x2 stages.
+
+    TPU layout (round 5): the second shuffle and both fine-grid convs
+    (conv_hr 64->64, conv_last 64->3) run in the DEFERRED sub-pixel
+    layout at (2H, 2W).  On the materialized 4x grid those convs
+    measured 5.5 TF/s — conv_last's cout=3 fills 3 of 128 MXU lanes
+    and conv_last cost as much as the 64->64 (docs/PERF.md round-5
+    upsample decomposition).  Deferred, they become dense 256-channel
+    coarse contractions (4x the MACs at ~20x the utilization), the
+    4x-resolution shuffle transpose disappears, and the final
+    interleave runs on the 12-channel output — the round-1 lite-family
+    trick (api.py deferredSubpixelConv).  Bit-effect: identical
+    products, reordered sums (fp32 accumulation either way).
+    """
+    from moephoto_tpu.models.sr import _permutePSBias, _permutePSWeight
+
     p = "upsample"
     y = pixelShuffle(conv2d(params, p + ".0", x, padding=1), 2)
     y = leakyRelu(y, 0.1)
-    y = pixelShuffle(conv2d(params, p + ".3", y, padding=1), 2)
-    y = leakyRelu(y, 0.1)
-    y = leakyRelu(conv2d(params, p + ".6", y, padding=1), 0.1)
-    return conv2d(params, p + ".8", y, padding=1)
+    # upsample.3 with output channels permuted to deferred (a, b, c)
+    # order: its pixel-shuffle becomes a free reshape
+    p3 = {
+        "w.weight": _permutePSWeight(params[p + ".3.weight"], 2),
+        "w.bias": _permutePSBias(params[p + ".3.bias"], 2),
+    }
+    z = leakyRelu(conv2d(p3, "w", y, padding=1), 0.1)  # (B, 2H, 2W, 256)
+    b, h2, w2 = z.shape[0], z.shape[1], z.shape[2]
+    zd = z.reshape(b, h2, w2, 2, 2, NumFeat)
+    hd = leakyRelu(
+        deferredSubpixelConv(
+            params[p + ".6.weight"], zd, params[p + ".6.bias"]
+        ),
+        0.1,
+    )
+    o = deferredSubpixelConv(params[p + ".8.weight"], hd, params[p + ".8.bias"])
+    return interleaveDeferred(o)
 
 
 # --- keyframe marker -------------------------------------------------------
