@@ -224,11 +224,57 @@ def maxPool2d(x: jnp.ndarray, k: int, stride: int, padding: int = 0) -> jnp.ndar
 
 
 def resizeBilinear(x: jnp.ndarray, h: int, w: int, align_corners: bool = False) -> jnp.ndarray:
-    """Torch ``F.interpolate(mode='bilinear')`` on NHWC (no antialias)."""
+    """Torch ``F.interpolate(mode='bilinear')`` on NHWC (no antialias).
+
+    Deliberately does NOT auto-dispatch exact-2x upsamples to
+    ``resizeBilinear2x``: the phase form only wins where the
+    surrounding program fuses its shifted adds (EDVR PCD/TSA, which
+    call it explicitly); auto-dispatching it everywhere measured
+    IconVSR 1.199 -> 1.151 and IFRNet 14.95 -> 14.32 Mpx/s — the
+    C<=3 fine-res interleaves cost more than the dense dots they
+    replace (round 5, docs/PERF.md)."""
     if align_corners:
         return _resizeAlignCorners(x, h, w)
     shape = x.shape[:-3] + (h, w, x.shape[-1])
     return jax.image.resize(x, shape, method="bilinear", antialias=False).astype(x.dtype)
+
+
+def resizeBilinear2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2x bilinear upsample (half-pixel centers, edge clamp) by
+    PHASE adds + reshape interleave on NHWC ``(..., H, W, C)``.
+
+    Numerically identical to ``jax.image.resize(..., 'bilinear',
+    antialias=False)`` at scale 2 (maxabs 6e-8 in f32): for output row
+    ``2k`` the source coordinate is ``k - 0.25`` (weights 0.25/0.75 on
+    rows ``k-1``/``k``, edge-clamped) and for ``2k+1`` it is ``k + 0.25``
+    — two fixed 2-tap filters per axis, one per output phase.
+
+    Why not ``jax.image.resize``: XLA lowers that to dense (out, in)
+    interpolation-matrix dot_generals, which measure FAST standalone
+    (5 ms at (14, 192, 320, 64) -> 2x) but poison fusion inside large
+    programs — patching only this formulation into the EDVR slab
+    program cut it 664 -> 544 ms/slab while the nearest-resize control
+    put the total in-situ resize cost at 183 ms/slab (round 5,
+    docs/PERF.md).  Shifted adds + an interleave reshape fuse with the
+    surrounding convs instead.
+    """
+    f = x.astype(jnp.float32)
+    B = f.shape[:-3]
+    H, W, C = f.shape[-3], f.shape[-2], f.shape[-1]
+
+    # rows
+    up = jnp.concatenate([f[..., :1, :, :], f[..., :-1, :, :]], axis=-3)
+    dn = jnp.concatenate([f[..., 1:, :, :], f[..., -1:, :, :]], axis=-3)
+    even = 0.25 * up + 0.75 * f
+    odd = 0.75 * f + 0.25 * dn
+    f = jnp.stack([even, odd], axis=-3).reshape(B + (2 * H, W, C))
+    # cols
+    lf = jnp.concatenate([f[..., :, :1, :], f[..., :, :-1, :]], axis=-2)
+    rt = jnp.concatenate([f[..., :, 1:, :], f[..., :, -1:, :]], axis=-2)
+    even = 0.25 * lf + 0.75 * f
+    odd = 0.75 * f + 0.25 * rt
+    f = jnp.stack([even, odd], axis=-2).reshape(B + (2 * H, 2 * W, C))
+    return f.astype(x.dtype)
 
 
 def resizeNearest(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:

@@ -35,6 +35,7 @@ from moephoto_tpu.models.api import (
     maxPool2d,
     pixelShuffle,
     resizeBilinear,
+    resizeBilinear2x,
     sigmoid,
 )
 from moephoto_tpu.models.blocks import residualBlockNoBN
@@ -144,9 +145,11 @@ def _pcdAlign(params: Params, p: str, nbr: List[jnp.ndarray], ref: List[jnp.ndar
             )
         if i > 1:
             feat = leakyRelu(feat, 0.1)
-            h, w = offset.shape[1] * 2, offset.shape[2] * 2
-            upOffset = resizeBilinear(offset, h, w) * 2.0
-            upFeat = resizeBilinear(feat, h, w)
+            # phase-add 2x (exact): jax.image.resize's dense-matrix dots
+            # poison fusion inside this program — 183 ms/slab of in-situ
+            # cost, 120 of it recovered by this form (round 5, PERF.md)
+            upOffset = resizeBilinear2x(offset) * 2.0
+            upFeat = resizeBilinear2x(feat)
     offset = jnp.concatenate([feat, ref[0]], axis=-1)
     offset = leakyRelu(conv2d(params, f"{p}.cas_offset_conv1", offset, padding=1), 0.1)
     offset = leakyRelu(conv2d(params, f"{p}.cas_offset_conv2", offset, padding=1), 0.1)
@@ -186,10 +189,10 @@ def _tsaFusion(params: Params, p: str, aligned: jnp.ndarray, center: int):
         0.1,
     )
     attnLevel = leakyRelu(conv2d(params, p + ".spatial_attn_l3", attnLevel, padding=1), 0.1)
-    attnLevel = resizeBilinear(attnLevel, attnLevel.shape[1] * 2, attnLevel.shape[2] * 2)
+    attnLevel = resizeBilinear2x(attnLevel)
     attn = leakyRelu(conv2d(params, p + ".spatial_attn3", attn, padding=1), 0.1) + attnLevel
     attn = leakyRelu(conv2d(params, p + ".spatial_attn4", attn), 0.1)
-    attn = resizeBilinear(attn, attn.shape[1] * 2, attn.shape[2] * 2)
+    attn = resizeBilinear2x(attn)
     attn = conv2d(params, p + ".spatial_attn5", attn, padding=1)
     attnAdd = conv2d(
         params, p + ".spatial_attn_add2",

@@ -410,3 +410,30 @@ def test_ailut_pallas_kernel_extrapolates_out_of_range():
             )
         )
         assert np.abs(ref - got).max() / scale < (1e-4 if exact else 1e-2), exact
+
+
+def test_resize_bilinear_2x_phase_matches_jax_image():
+    """resizeBilinear2x (phase adds + interleave, models/api.py) must be
+    numerically identical to jax.image.resize bilinear at scale 2 —
+    it replaces it inside the EDVR PCD/TSA programs where the dense
+    interpolation-matrix lowering measured 183 ms/slab of fusion loss
+    (round 5, docs/PERF.md).  Odd sizes + a batch-leading layout cover
+    the edge-clamp phases; reference semantics: torch F.interpolate
+    align_corners=False as used by videoSR.py:199-204,289-295."""
+    import jax
+    import jax.numpy as jnp
+
+    from moephoto_tpu.models.api import resizeBilinear2x
+
+    rng = np.random.RandomState(11)
+    for shape in ((2, 5, 7, 3), (14, 24, 40, 64), (1, 1, 2, 2)):
+        x = jnp.asarray(rng.rand(*shape).astype(np.float32))
+        want = jax.image.resize(
+            x, shape[:-3] + (2 * shape[-3], 2 * shape[-2], shape[-1]),
+            "bilinear", antialias=False,
+        )
+        got = resizeBilinear2x(x)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0, atol=5e-7
+        )
