@@ -55,6 +55,81 @@ _SPY_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _SPY_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+_SPY_PACK_S = [None]
+
+
+def _spyPackMatrix() -> np.ndarray:
+    """0/1 selection tensor scattering a 7x7 stride-1 fine-grid kernel
+    onto the 2x2-packed (space-to-depth) layout.
+
+    Fine output row ``2i + a`` reads fine input row ``2j + p`` at tap
+    ``dy = 2*(j - i) + p - a``; over ``dy in [-3, 3]`` the packed row
+    offset ``j - i`` spans ``[-2, 2]`` — a 5x5 packed kernel whose
+    (Y, X, in-phase u=p*2+q, out-phase v=a*2+b) slot holds fine tap
+    (dy+3, dx+3), zero where |dy| or |dx| > 3 (49% of slots).  Each
+    slot has at most ONE source tap, so packing is exact in any dtype.
+    """
+    if _SPY_PACK_S[0] is None:
+        S = np.zeros((5, 5, 4, 4, 7, 7), np.float32)
+        for a in range(2):
+            for b in range(2):
+                for p in range(2):
+                    for q in range(2):
+                        for Y in range(5):
+                            dy = 2 * (Y - 2) + p - a
+                            if abs(dy) > 3:
+                                continue
+                            for X in range(5):
+                                dx = 2 * (X - 2) + q - b
+                                if abs(dx) > 3:
+                                    continue
+                                S[Y, X, p * 2 + q, a * 2 + b, dy + 3, dx + 3] = 1
+        _SPY_PACK_S[0] = S
+    return _SPY_PACK_S[0]
+
+
+def _spyConvPacked(params: Params, key: str, xp: jnp.ndarray) -> jnp.ndarray:
+    """One SpyNet 7x7 conv evaluated on the 2x2-packed layout: 5x5 conv
+    over 4x the channels.  2.04x the MACs of the fine form, but C=128/256
+    fills the MXU lanes the fine C=32/64 convs leave half-empty — the
+    packed probe ran the same pixel coverage 3.4x faster (round 5,
+    docs/PERF.md SpyNet section)."""
+    from moephoto_tpu.models.api import _convPET, _precision
+
+    wf = params[key + ".weight"]  # (7, 7, cin, cout) HWIO
+    S = jnp.asarray(_spyPackMatrix(), wf.dtype)
+    cin, cout = wf.shape[2], wf.shape[3]
+    # channel layout matches pixelUnshuffle/pixelShuffle: c*4 + i*2 + j
+    wp = jnp.einsum("YXuvyx,yxio->YXiuov", S, wf).reshape(5, 5, 4 * cin, 4 * cout)
+    dn = jax.lax.conv_dimension_numbers(xp.shape, wp.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        xp, wp.astype(xp.dtype), (1, 1), ((2, 2), (2, 2)),
+        dimension_numbers=dn,
+        precision=_precision[0],
+        preferred_element_type=_convPET[0],
+    )
+    b = params.get(key + ".bias")
+    if b is not None:
+        y = y + jnp.repeat(b, 4).astype(y.dtype)
+    return y.astype(xp.dtype)
+
+
+def _spyModulePacked(
+    params: Params, level: int, inp: jnp.ndarray
+) -> jnp.ndarray:
+    """The 5-conv basic_module on the packed layout: one unshuffle in,
+    one shuffle out; ReLU is elementwise (layout-invariant)."""
+    from moephoto_tpu.models.api import pixelUnshuffle
+
+    xp = pixelUnshuffle(inp, 2)  # (B, H/2, W/2, 32)
+    p = f"spynet.basic_module.{level}"
+    for j in range(0, 9, 2):
+        xp = _spyConvPacked(params, f"{p}.{j}", xp)
+        if j < 8:
+            xp = jax.nn.relu(xp)
+    return pixelShuffle(xp, 2)  # (B, H, W, 2)
+
+
 def spynetApply(params: Params, pair: jnp.ndarray) -> jnp.ndarray:
     """SpyNet (videoSR.py:87-137): pair (B, 2, H, W, 3) -> flow (B, H, W, 2).
 
@@ -102,12 +177,18 @@ def spynetApply(params: Params, pair: jnp.ndarray) -> jnp.ndarray:
         else:
             warped = backWarp(supp[level], up, padding_mode="border")
         inp = jnp.concatenate([ref[level], warped, up], axis=-1)
-        y = inp
-        p = f"spynet.basic_module.{level}"
-        for j, c in zip(range(0, 9, 2), (32, 64, 32, 16, 2)):
-            y = conv2d(params, f"{p}.{j}", y, padding=3)
-            if j < 8:
-                y = jax.nn.relu(y)
+        if pair.dtype == jnp.bfloat16 and jax.default_backend() != "cpu":
+            # chip tier: 2x2-packed 5x5 convs fill the MXU lanes the
+            # fine C=32/64 7x7 stacks leave half-empty (exact packing;
+            # tests/test_models_parity.py pins it against the fine path)
+            y = _spyModulePacked(params, level, inp)
+        else:
+            y = inp
+            p = f"spynet.basic_module.{level}"
+            for j in range(0, 9, 2):
+                y = conv2d(params, f"{p}.{j}", y, padding=3)
+                if j < 8:
+                    y = jax.nn.relu(y)
         flow = y + up
     return flow
 

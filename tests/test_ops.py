@@ -437,3 +437,33 @@ def test_resize_bilinear_2x_phase_matches_jax_image():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=0, atol=5e-7
         )
+
+
+def test_spynet_packed_convs_match_fine_path():
+    """The 2x2-packed SpyNet basic_module (5x5 phase-scattered convs,
+    models/iconvsr.py _spyModulePacked — the chip tier) must match the
+    fine 7x7 conv stack: packing is an exact kernel re-indexing (each
+    packed slot holds at most one fine tap), so fp32 outputs agree to
+    reassociation error.  Reference semantics: videoSR.py:87-137
+    (SpyNet BasicModule, 5 convs 8->32->64->32->16->2, pad 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from moephoto_tpu.models import iconvsr as JV
+    from moephoto_tpu.models.api import conv2d
+
+    params = JV.synthParams(3)
+    rng = np.random.RandomState(9)
+    for level, (H, W) in ((0, (12, 20)), (4, (32, 64))):
+        inp = jnp.asarray(rng.rand(2, H, W, 8).astype(np.float32) - 0.3)
+        y = inp
+        p = f"spynet.basic_module.{level}"
+        for j in range(0, 9, 2):
+            y = conv2d(params, f"{p}.{j}", y, padding=3)
+            if j < 8:
+                y = jax.nn.relu(y)
+        got = JV._spyModulePacked(params, level, inp)
+        assert got.shape == y.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(y), rtol=0, atol=2e-5
+        )
